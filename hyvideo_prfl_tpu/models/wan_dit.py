@@ -1,0 +1,467 @@
+"""Wan video DiT backbone, TPU-native flax implementation.
+
+Parity target: reference `wan/modules/model.py:413-729` (WanModel and
+submodules). Re-designed for XLA rather than translated:
+
+* Channel-last [B, F, H, W, C] video tensors; patch embedding is a reshape +
+  one Dense (kernel == stride 3D conv is exactly a non-overlapping patch
+  matmul — MXU-friendly, no conv layout shuffles).
+* Static shapes: one resolution bucket per compiled step; the reference's
+  per-sample python lists + pad-to-seq_len (model.py:578-587) become a single
+  batched tensor (all samples in a batch share a grid, as the reference's
+  training configs effectively require anyway).
+* Blocks run under `nn.scan` with stacked parameters [L, ...]: one compile of
+  one block, natural FSDP sharding of the stacked axis, `nn.remat` for
+  activation checkpointing (replacing apply_fsdp_checkpointing,
+  fsdp_utils.py:23-50), and the PAVRM "first-k blocks" trimmed model is a
+  parameter slice (train_pavrm.py:200-237).
+* fp32 islands exactly as the reference: time/adaLN modulation fp32
+  (model.py:339-341, :590-594), norms fp32, RoPE fp32 (reference float64,
+  unavailable on TPU), residual stream fp32, matmuls bf16.
+* Sequence parallelism via GSPMD sharding constraints (parallel/sharding.py)
+  instead of explicit all_to_all_4D autograd functions: tokens sharded on
+  "sp", heads sharded inside attention — XLA inserts the Ulysses all_to_all
+  pair (replacing model.py:183-196 + communication.py:40-160).
+* Feature taps: `output_features` returns activations after the selected
+  blocks (model.py:656-670) for the PAVRM latent reward path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import dot_product_attention
+from ..parallel.sharding import ShardingPolicy, constrain
+from .rope import apply_rope, rope_tables
+
+T5_CONTEXT_TOKEN_NUMBER = 512
+FIRST_LAST_FRAME_CONTEXT_TOKEN_NUMBER = 257 * 2
+
+
+@dataclasses.dataclass(frozen=True)
+class WanConfig:
+    """Model hyperparameters (reference wan/configs/*, model.py:423-439)."""
+
+    model_type: str = "t2v"  # t2v | i2v | flf2v
+    patch_size: Tuple[int, int, int] = (1, 2, 2)
+    text_len: int = 512
+    in_dim: int = 16
+    dim: int = 2048
+    ffn_dim: int = 8192
+    freq_dim: int = 256
+    text_dim: int = 4096
+    out_dim: int = 16
+    num_heads: int = 16
+    num_layers: int = 32
+    qk_norm: bool = True
+    cross_attn_norm: bool = True
+    eps: float = 1e-6
+    compute_dtype: Any = jnp.bfloat16
+    remat: bool = True  # activation checkpointing per block
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.num_heads
+
+
+# 14B / 1.3B presets (wan_t2v_14B.py:20-27, wan_t2v_1_3B.py, wan_i2v_14B.py)
+def t2v_14b(**kw):
+    return WanConfig(model_type="t2v", dim=5120, ffn_dim=13824, num_heads=40,
+                     num_layers=40, **kw)
+
+
+def i2v_14b(**kw):
+    return WanConfig(model_type="i2v", in_dim=36, dim=5120, ffn_dim=13824,
+                     num_heads=40, num_layers=40, **kw)
+
+
+def t2v_1_3b(**kw):
+    return WanConfig(model_type="t2v", dim=1536, ffn_dim=8960, num_heads=12,
+                     num_layers=30, **kw)
+
+
+def flf2v_14b(**kw):
+    return WanConfig(model_type="flf2v", in_dim=36, dim=5120, ffn_dim=13824,
+                     num_heads=40, num_layers=40, **kw)
+
+
+def tiny_test(**kw):
+    """2-layer toy config for tests."""
+    kw.setdefault("dim", 128)
+    kw.setdefault("ffn_dim", 256)
+    kw.setdefault("num_heads", 2)
+    kw.setdefault("num_layers", 2)
+    kw.setdefault("freq_dim", 32)
+    kw.setdefault("text_dim", 64)
+    return WanConfig(**kw)
+
+
+def sinusoidal_embedding_1d(dim: int, position: jnp.ndarray) -> jnp.ndarray:
+    """[cos | sin] sinusoid table (model.py:22-32), fp32."""
+    half = dim // 2
+    pos = position.astype(jnp.float32)
+    freqs = jnp.power(
+        10000.0, -jnp.arange(half, dtype=jnp.float32) / half
+    )
+    ang = jnp.outer(pos, freqs)
+    return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=1)
+
+
+def _rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """fp32 RMS norm * weight, cast back to x.dtype (model.py:106-122)."""
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (y.astype(x.dtype) * weight.astype(x.dtype))
+
+
+def _layer_norm(x: jnp.ndarray, eps: float, scale=None, bias=None) -> jnp.ndarray:
+    """fp32 LayerNorm, optionally affine, cast back (model.py:125-135)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _dense(name, features, dtype, init="xavier"):
+    kernel_init = (
+        nn.initializers.xavier_uniform()
+        if init == "xavier"
+        else nn.initializers.normal(stddev=0.02)
+        if init == "normal02"
+        else nn.initializers.zeros_init()
+    )
+    return nn.Dense(
+        features, name=name, dtype=dtype, param_dtype=jnp.float32,
+        kernel_init=kernel_init, bias_init=nn.initializers.zeros_init(),
+    )
+
+
+class SelfAttention(nn.Module):
+    """qk-RMSNorm + 3D RoPE + flash attention (model.py:138-201)."""
+
+    cfg: WanConfig
+    policy: Optional[ShardingPolicy] = None
+
+    @nn.compact
+    def __call__(self, x, cos, sin):
+        cfg, policy = self.cfg, self.policy
+        b, l, _ = x.shape
+        n, d = cfg.num_heads, cfg.head_dim
+        cd = cfg.compute_dtype
+        x = x.astype(cd)
+        q = _dense("q", cfg.dim, cd)(x)
+        k = _dense("k", cfg.dim, cd)(x)
+        v = _dense("v", cfg.dim, cd)(x)
+        if cfg.qk_norm:
+            q = _rms_norm(q, self.param("norm_q", nn.initializers.ones, (cfg.dim,)), cfg.eps)
+            k = _rms_norm(k, self.param("norm_k", nn.initializers.ones, (cfg.dim,)), cfg.eps)
+        q = q.reshape(b, l, n, d)
+        k = k.reshape(b, l, n, d)
+        v = v.reshape(b, l, n, d)
+        q = apply_rope(q, cos, sin).astype(cd)
+        k = apply_rope(k, cos, sin).astype(cd)
+        # Ulysses: shard heads / gather sequence for the attention op
+        q = constrain(q, policy, "attn_heads")
+        k = constrain(k, policy, "attn_heads")
+        v = constrain(v, policy, "attn_heads")
+        out = dot_product_attention(q, k, v)
+        out = constrain(out, policy, "attn_heads")
+        out = out.reshape(b, l, cfg.dim)
+        out = constrain(out, policy, "tokens")
+        return _dense("o", cfg.dim, cd)(out)
+
+
+class CrossAttention(nn.Module):
+    """Text (+image for i2v/flf2v) cross attention (model.py:204-271)."""
+
+    cfg: WanConfig
+    policy: Optional[ShardingPolicy] = None
+
+    @nn.compact
+    def __call__(self, x, context):
+        cfg, policy = self.cfg, self.policy
+        b, l, _ = x.shape
+        n, d = cfg.num_heads, cfg.head_dim
+        cd = cfg.compute_dtype
+        x = x.astype(cd)
+        is_i2v = cfg.model_type in ("i2v", "flf2v")
+        if is_i2v:
+            img_len = context.shape[1] - T5_CONTEXT_TOKEN_NUMBER
+            context_img = context[:, :img_len]
+            context = context[:, img_len:]
+        context = context.astype(cd)
+        q = _dense("q", cfg.dim, cd)(x)
+        k = _dense("k", cfg.dim, cd)(context)
+        v = _dense("v", cfg.dim, cd)(context)
+        if cfg.qk_norm:
+            q = _rms_norm(q, self.param("norm_q", nn.initializers.ones, (cfg.dim,)), cfg.eps)
+            k = _rms_norm(k, self.param("norm_k", nn.initializers.ones, (cfg.dim,)), cfg.eps)
+        q = q.reshape(b, l, n, d)
+        k = k.reshape(b, -1, n, d)
+        v = v.reshape(b, -1, n, d)
+        out = dot_product_attention(q, k, v)
+        if is_i2v:
+            context_img = context_img.astype(cd)
+            k_img = _dense("k_img", cfg.dim, cd)(context_img)
+            v_img = _dense("v_img", cfg.dim, cd)(context_img)
+            if cfg.qk_norm:
+                k_img = _rms_norm(
+                    k_img,
+                    self.param("norm_k_img", nn.initializers.ones, (cfg.dim,)),
+                    cfg.eps,
+                )
+            k_img = k_img.reshape(b, -1, n, d)
+            v_img = v_img.reshape(b, -1, n, d)
+            out = out + dot_product_attention(q, k_img, v_img)
+        out = out.reshape(b, l, cfg.dim)
+        return _dense("o", cfg.dim, cd)(out)
+
+
+class WanBlock(nn.Module):
+    """DiT block: adaLN-modulated self-attn, cross-attn, FFN
+    (model.py:280-359). Residual stream fp32; matmuls compute_dtype."""
+
+    cfg: WanConfig
+    policy: Optional[ShardingPolicy] = None
+
+    @nn.compact
+    def __call__(self, x, e, context, cos, sin):
+        cfg, policy = self.cfg, self.policy
+        cd = cfg.compute_dtype
+        mod = self.param(
+            "modulation",
+            nn.initializers.normal(stddev=1.0 / math.sqrt(cfg.dim)),
+            (1, 6, cfg.dim),
+        )
+        # e: [B, 6, dim] fp32; modulation add in fp32 (model.py:339-341)
+        e6 = (mod.astype(jnp.float32) + e.astype(jnp.float32))
+        e0, e1, e2, e3, e4, e5 = [e6[:, i][:, None, :] for i in range(6)]
+
+        x = x.astype(jnp.float32)
+        h = _layer_norm(x, 1e-6) * (1.0 + e1) + e0
+        y = SelfAttention(cfg, policy, name="self_attn")(h.astype(cd), cos, sin)
+        x = x + y.astype(jnp.float32) * e2
+        x = constrain(x, policy, "tokens")
+
+        if cfg.cross_attn_norm:
+            scale = self.param("norm3_scale", nn.initializers.ones, (cfg.dim,))
+            bias = self.param("norm3_bias", nn.initializers.zeros, (cfg.dim,))
+            h = _layer_norm(x, 1e-6, scale, bias)
+        else:
+            h = x
+        y = CrossAttention(cfg, policy, name="cross_attn")(h.astype(cd), context)
+        x = x + y.astype(jnp.float32)
+
+        h = _layer_norm(x, 1e-6) * (1.0 + e4) + e3
+        h = _dense("ffn_0", cfg.ffn_dim, cd)(h.astype(cd))
+        h = nn.gelu(h, approximate=True)
+        h = _dense("ffn_2", cfg.dim, cd)(h)
+        x = x + h.astype(jnp.float32) * e5
+        x = constrain(x, policy, "tokens")
+        return x
+
+
+class Head(nn.Module):
+    """Final modulated projection to patch pixels (model.py:362-389)."""
+
+    cfg: WanConfig
+
+    @nn.compact
+    def __call__(self, x, e):
+        cfg = self.cfg
+        out_dim = math.prod(cfg.patch_size) * cfg.out_dim
+        mod = self.param(
+            "modulation",
+            nn.initializers.normal(stddev=1.0 / math.sqrt(cfg.dim)),
+            (1, 2, cfg.dim),
+        )
+        e2 = mod.astype(jnp.float32) + e.astype(jnp.float32)[:, None, :]
+        e0, e1 = e2[:, 0][:, None, :], e2[:, 1][:, None, :]
+        x = x.astype(jnp.float32)
+        h = _layer_norm(x, 1e-6) * (1.0 + e1) + e0
+        return _dense("head", out_dim, jnp.float32, init="zeros")(h)
+
+
+class MLPProj(nn.Module):
+    """CLIP image-context projector (model.py:392-410)."""
+
+    cfg: WanConfig
+
+    @nn.compact
+    def __call__(self, image_embeds):
+        cfg = self.cfg
+        flf = cfg.model_type == "flf2v"
+        x = image_embeds.astype(jnp.float32)
+        if flf:
+            b, n, d = x.shape
+            x = x.reshape(-1, 2 * n, d)
+            pos = self.param(
+                "emb_pos", nn.initializers.zeros,
+                (1, FIRST_LAST_FRAME_CONTEXT_TOKEN_NUMBER, 1280),
+            )
+            x = x + pos
+        scale0 = self.param("ln0_scale", nn.initializers.ones, (x.shape[-1],))
+        bias0 = self.param("ln0_bias", nn.initializers.zeros, (x.shape[-1],))
+        x = _layer_norm(x, 1e-5, scale0, bias0)
+        x = _dense("fc1", x.shape[-1], jnp.float32)(x)
+        x = nn.gelu(x, approximate=False)
+        x = _dense("fc2", cfg.dim, jnp.float32)(x)
+        scale1 = self.param("ln1_scale", nn.initializers.ones, (cfg.dim,))
+        bias1 = self.param("ln1_bias", nn.initializers.zeros, (cfg.dim,))
+        return _layer_norm(x, 1e-5, scale1, bias1)
+
+
+class WanModel(nn.Module):
+    """The video DiT (model.py:413-729).
+
+    __call__(x, t, context, y=None, clip_fea=None, output_features=False,
+             selected_layers=(), num_layers_override=None, policy=None)
+
+    x: [B, F, H, W, in_dim(part)] latent video, channel-last.
+    t: [B] or scalar timesteps.
+    context: [B, text_len, text_dim] padded text embeddings.
+    y: optional conditioning latents [B, F, H, W, C_y], channel-concatenated
+       (i2v mask+cond; reference cats on channel dim, model.py:574-575).
+    Returns [B, F, H, W, out_dim] fp32, or stacked features
+    [num_selected, B, L, dim] when output_features=True.
+    """
+
+    cfg: WanConfig
+    policy: Optional[ShardingPolicy] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        t,
+        context,
+        y=None,
+        clip_fea=None,
+        output_features: bool = False,
+        selected_layers: Sequence[int] = (),
+        num_layers_override: Optional[int] = None,
+    ):
+        cfg, policy = self.cfg, self.policy
+        cd = cfg.compute_dtype
+        if y is not None:
+            x = jnp.concatenate([x, y], axis=-1)
+        b, f, hh, ww, c_in = x.shape
+        pt, ph, pw = cfg.patch_size
+        gf, gh, gw = f // pt, hh // ph, ww // pw
+        grid = (gf, gh, gw)
+        seq_len = gf * gh * gw
+
+        # --- patch embedding: reshape + Dense (== stride=kernel Conv3d) ---
+        xp = x.reshape(b, gf, pt, gh, ph, gw, pw, c_in)
+        xp = xp.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+            b, seq_len, pt * ph * pw * c_in
+        )
+        h = _dense("patch_embedding", cfg.dim, cd)(xp.astype(cd))
+        h = h.astype(jnp.float32)
+        h = constrain(h, policy, "tokens")
+
+        # --- time embedding (fp32 island, model.py:590-594) ---
+        t = jnp.atleast_1d(jnp.asarray(t))
+        if t.shape[0] != b:
+            t = jnp.broadcast_to(t, (b,))
+        e = sinusoidal_embedding_1d(cfg.freq_dim, t)
+        e = _dense("time_0", cfg.dim, jnp.float32, init="normal02")(e)
+        e = nn.silu(e)
+        e = _dense("time_2", cfg.dim, jnp.float32, init="normal02")(e)
+        e0 = nn.silu(e)
+        e0 = _dense("time_proj", cfg.dim * 6, jnp.float32)(e0)
+        e0 = e0.reshape(b, 6, cfg.dim)
+
+        # --- text embedding ---
+        ctx = _dense("text_0", cfg.dim, cd, init="normal02")(context.astype(cd))
+        ctx = nn.gelu(ctx, approximate=True)
+        ctx = _dense("text_2", cfg.dim, cd, init="normal02")(ctx)
+        if clip_fea is not None:
+            ctx_img = MLPProj(cfg, name="img_emb")(clip_fea).astype(cd)
+            ctx = jnp.concatenate([ctx_img, ctx], axis=1)
+        ctx = constrain(ctx, policy, "context")
+
+        # --- RoPE tables (host-precomputed constants) ---
+        cos, sin = rope_tables(grid, cfg.head_dim)
+
+        # --- blocks under scan with stacked params ---
+        n_layers = num_layers_override or cfg.num_layers
+        sel = tuple(selected_layers)
+        n_sel = len(sel)
+        sel_arr = jnp.asarray(sel, jnp.int32) if n_sel else None
+
+        block_cls = WanBlock
+        if cfg.remat:
+            block_cls = nn.remat(
+                WanBlock,
+                static_argnums=(),
+                prevent_cse=False,
+            )
+
+        feats0 = (
+            jnp.zeros((n_sel, b, seq_len, cfg.dim), jnp.float32)
+            if n_sel
+            else None
+        )
+
+        def body(block, carry, _):
+            x, feats, idx = carry
+            x = block(x, e0, ctx, cos, sin)
+            if feats is not None:
+                # tap after block `idx` when (idx+1) in selected_layers
+                hit = (sel_arr == idx + 1)  # [n_sel]
+                feats = jnp.where(hit[:, None, None, None], x[None], feats)
+            return (x, feats, idx + 1), None
+
+        scan = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=n_layers,
+        )
+        (h, feats, _), _ = scan(
+            block_cls(cfg, policy, name="blocks"), (h, feats0, jnp.int32(0)), None
+        )
+
+        if output_features:
+            return feats
+
+        # --- head + unpatchify ---
+        out = Head(cfg, name="head")(h, e)
+        out = out.reshape(b, gf, gh, gw, pt, ph, pw, cfg.out_dim)
+        out = out.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
+            b, gf * pt, gh * ph, gw * pw, cfg.out_dim
+        )
+        out = constrain(out, policy, "video")
+        return out.astype(jnp.float32)
+
+
+def init_params(cfg: WanConfig, rng, sample_shape=(1, 4, 8, 8, None),
+                text_len=None):
+    """Initialize a parameter pytree with a tiny dummy forward."""
+    b, f, hh, ww, _ = sample_shape
+    x = jnp.zeros((b, f, hh, ww, 16 if cfg.model_type == "t2v" else 16), jnp.float32)
+    y = (
+        jnp.zeros((b, f, hh, ww, cfg.in_dim - 16), jnp.float32)
+        if cfg.in_dim > 16
+        else None
+    )
+    ctx = jnp.zeros((b, text_len or cfg.text_len, cfg.text_dim), jnp.float32)
+    clip = (
+        jnp.zeros((b, 257 * (2 if cfg.model_type == "flf2v" else 1), 1280), jnp.float32)
+        if cfg.model_type in ("i2v", "flf2v")
+        else None
+    )
+    t = jnp.zeros((b,), jnp.float32)
+    model = WanModel(cfg)
+    return model.init(rng, x, t, ctx, y=y, clip_fea=clip)

@@ -1,0 +1,92 @@
+"""Mesh + sharding policy: the single layer replacing the reference's
+parallel_states / communication / fsdp_utils / xfuser stack (SURVEY.md 2.8).
+
+Design: one logical mesh with axes ("data", "sp").
+* Parameters are fully sharded over all devices (FSDP/ZeRO-3 equivalent of
+  fsdp_utils.py:66-122) via NamedSharding on the flattened (data*sp) axes.
+* Activations are batch-sharded on "data" and sequence-sharded on "sp"
+  (DeepSpeed-Ulysses, parallel_states.py:35-75 + all_to_all_4D).
+* Inside attention, heads are sharded on "sp" and sequence gathered — XLA
+  inserts the all_to_all pair automatically from the sharding constraints
+  (the compiled equivalent of communication.py:40-160). All collectives ride
+  ICI; nothing like the reference's autograd-aware wrappers is needed since
+  JAX collectives differentiate natively.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+SP_AXIS = "sp"
+
+
+def make_mesh(
+    data: int = 1,
+    sp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build the ("data", "sp") mesh. data*sp must equal device count."""
+    devices = list(devices if devices is not None else jax.devices())
+    assert data * sp == len(devices), (
+        f"mesh {data}x{sp} != {len(devices)} devices"
+    )
+    arr = np.asarray(devices).reshape(data, sp)
+    return Mesh(arr, (DATA_AXIS, SP_AXIS))
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingPolicy:
+    """Activation partition specs threaded through the model.
+
+    With policy=None the model places no constraints (single-device path).
+    """
+
+    # [B, L, D] token stream: batch on data, sequence on sp
+    tokens: P = P(DATA_AXIS, SP_AXIS, None)
+    # [B, L, N, Dh] attention operands during the attention op itself:
+    # heads on sp, sequence gathered (Ulysses head-swap)
+    attn_heads: P = P(DATA_AXIS, None, SP_AXIS, None)
+    # [B, Lctx, D] text context: replicated over sp (short seq)
+    context: P = P(DATA_AXIS, None, None)
+    # [B, F, H, W, C] video tensors: frames on sp
+    video: P = P(DATA_AXIS, SP_AXIS, None, None, None)
+    # [B, ...] per-sample scalars/vectors
+    batch: P = P(DATA_AXIS)
+
+
+def constrain(x, policy: Optional[ShardingPolicy], spec_name: str):
+    """Apply a named sharding constraint if a policy is active."""
+    if policy is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, getattr(policy, spec_name))
+
+
+def fsdp_param_sharding(mesh: Mesh, params, min_size: int = 2 ** 16):
+    """FSDP-style NamedShardings for a param pytree.
+
+    Shards the largest axis of each tensor over all mesh devices (both axes
+    flattened), mirroring ZeRO-3's flat-parameter sharding
+    (fsdp_utils.py:86-96). Small tensors stay replicated.
+    """
+    n_dev = mesh.devices.size
+
+    def spec_for(x):
+        if x.size < min_size:
+            return NamedSharding(mesh, P())
+        shape = x.shape
+        # choose the largest dim divisible by the device count
+        order = sorted(range(len(shape)), key=lambda i: -shape[i])
+        for i in order:
+            if shape[i] % n_dev == 0:
+                spec = [None] * len(shape)
+                spec[i] = (DATA_AXIS, SP_AXIS)
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec_for, params)
