@@ -25,12 +25,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.lru_cache(maxsize=32)
 def rope_tables(grid: tuple, head_dim: int, theta: float = 10000.0):
     """cos/sin tables for an (F, H, W) grid, shape [L, head_dim//2] each.
 
     Row-major token order (w fastest), matching patchified flattening.
+    Cached host-side as numpy (caching device arrays would leak tracers
+    when first touched inside a jit trace); jnp.asarray of a cached numpy
+    array is a plain constant in any trace.
     """
+    cos_np, sin_np = _rope_tables_np(grid, head_dim, theta)
+    return jnp.asarray(cos_np), jnp.asarray(sin_np)
+
+
+@functools.lru_cache(maxsize=32)
+def _rope_tables_np(grid: tuple, head_dim: int, theta: float = 10000.0):
     f, h, w = grid
     c = head_dim // 2
     ct = c - 2 * (c // 3)
@@ -55,8 +63,8 @@ def rope_tables(grid: tuple, head_dim: int, theta: float = 10000.0):
         axis=-1,
     ).reshape(f * h * w, c)
     return (
-        jnp.asarray(np.cos(ang), jnp.float32),
-        jnp.asarray(np.sin(ang), jnp.float32),
+        np.cos(ang).astype(np.float32),
+        np.sin(ang).astype(np.float32),
     )
 
 

@@ -1,0 +1,182 @@
+"""PRFL: process reward feedback learning, the framework's novel core.
+
+Parity target: reference `scripts/prfl/train_prfl.py` train_step_refl
+(:585-898) + train_step (SFT, :900-1034), interleaved every outer step
+(:1130-1185).
+
+The reference structure (rollout python loop with per-step empty_cache/gc,
+manual broadcast of the mid timestep, autograd through one UniPC step) maps
+to TPU as ONE jitted computation:
+
+  1. latent = N(0,1); mid ~ U[0, steps-2] drawn from the jit rng (replicated
+     across the mesh => no broadcast collective needed).
+  2. no-grad rollout: unipc.rollout(..., stop_index=mid) — a lax.scan of
+     (DiT forward + table-driven UniPC update) under stop_gradient. No
+     activations are kept (it is not differentiated), which is the compiled
+     equivalent of the reference's torch.no_grad + memory hygiene.
+  3. one gradient-carrying DiT forward at t_mid + unipc_step to t_mid+1.
+  4. frozen trimmed-DiT (LRM) feature forward at t_mid+1, QueryAttention
+     pool, sigmoid MLP, hinge loss 0.1 * relu(2 - reward).
+  5. backprop crosses: LRM blocks -> scheduler step -> policy forward.
+
+The SFT step is a plain flow-matching MSE step (train_prfl.py:900-1034).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import reward as rw
+from ..models import wan_dit
+from ..schedulers import flow_match as fm
+from ..schedulers import unipc
+from . import common
+from .pavrm import PavrmConfig, PavrmModel
+
+
+@dataclasses.dataclass(frozen=True)
+class PrflConfig:
+    inference_steps: int = 40
+    flow_shift: float = 5.0
+    num_train_timesteps: int = 1000
+    target_reward: float = 2.0
+    hinge_scale: float = 0.1
+    # SFT scheduler settings (extra_model.scheduler.*)
+    weighting_scheme: str = "uniform"
+    logit_mean: float = 0.0
+    logit_std: float = 1.0
+    is_i2v: bool = False
+
+
+class PrflModel:
+    """Policy DiT + frozen LRM(trimmed DiT + heads)."""
+
+    def __init__(self, dit_cfg: wan_dit.WanConfig, pavrm_cfg: PavrmConfig,
+                 prfl_cfg: PrflConfig, policy=None):
+        self.cfg = prfl_cfg
+        self.dit_cfg = dit_cfg
+        self.dit = wan_dit.WanModel(dit_cfg, policy)
+        self.lrm = PavrmModel(dit_cfg, pavrm_cfg, policy)
+
+
+def make_refl_step(model: PrflModel, tx,
+                   lrm_dit_params: Any, lrm_q_params: Any, lrm_m_params: Any):
+    """Build the jitted PRFL reward step.
+
+    state.params = full policy DiT params. The LRM tower is entirely frozen
+    (closed over). Batch supplies text/cond/clip conditioning and the latent
+    SHAPE (contents unused — rollout starts from pure noise,
+    train_prfl.py:637)."""
+    cfg = model.cfg
+    sched = unipc.unipc_schedule(
+        cfg.inference_steps, shift=cfg.flow_shift,
+        num_train_timesteps=cfg.num_train_timesteps,
+    )
+
+    def loss_fn(params, batch, rng):
+        k_noise, k_mid = jax.random.split(rng)
+        shape = batch["latents"].shape
+        latent0 = jax.random.normal(k_noise, shape, jnp.float32)
+        # rank0-drawn + broadcast mid timestep (train_prfl.py:639-652):
+        # with a replicated rng every shard draws the same value.
+        mid = jax.random.randint(k_mid, (), 0, cfg.inference_steps - 1)
+
+        y = batch.get("cond") if cfg.is_i2v else None
+        clip_fea = batch.get("clip_fea") if cfg.is_i2v else None
+
+        def velocity(x, t):
+            out = model.dit.apply(
+                params, x, t, batch["text"], y=y, clip_fea=clip_fea
+            )
+            return out
+
+        # ---- 1-2. no-grad rollout to mid ----
+        frozen_vel = lambda x, t: jax.lax.stop_gradient(
+            velocity(jax.lax.stop_gradient(x), t)
+        )
+        latent, solver_state = unipc.rollout(
+            sched, frozen_vel, latent0, stop_index=mid
+        )
+        latent = jax.lax.stop_gradient(latent)
+        solver_state = jax.lax.stop_gradient(solver_state)
+
+        # ---- 3. ONE gradient-carrying step at t_mid ----
+        t_mid = sched.timesteps[mid]
+        v = velocity(latent, t_mid)
+        # continue the solver from the truncated state (step_index == mid)
+        latent_next, _ = unipc.unipc_step(sched, solver_state, v, latent)
+
+        # ---- 4. frozen LRM reward at t_mid+1 ----
+        t_mid1 = sched.timesteps[jnp.minimum(mid + 1, cfg.inference_steps - 1)]
+        logits = model.lrm.score(
+            lrm_dit_params, lrm_q_params, lrm_m_params,
+            latent_next, t_mid1, batch["text"], y=y, clip_fea=clip_fea,
+        )
+        reward = rw.reward_sigmoid(logits)[:, 0]
+        loss = rw.prfl_hinge_loss(
+            reward, cfg.target_reward, cfg.hinge_scale
+        )
+        return loss, {"reward": reward.mean(), "mid": mid,
+                      "pred_v": v, "latent_next": latent_next}
+
+    def refl_step(state: common.TrainState, batch, rng):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        finite = jnp.isfinite(loss)
+        grads = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        new_state, gnorm = common.apply_grads(state, tx, grads)
+        return new_state, {
+            "loss": jnp.where(finite, loss, 0.0),
+            "grad_norm": gnorm,
+            "reward": aux["reward"],
+            "mid": aux["mid"],
+        }
+
+    return refl_step
+
+
+def make_sft_step(model: PrflModel, tx, schedule: fm.FlowMatchSchedule,
+                  sft_cfg: Optional[PrflConfig] = None):
+    """Flow-matching SFT step (train_prfl.py:900-1034): sample (t, sigma),
+    add noise to cached data latents, MSE(v_pred, eps - x0)."""
+    cfg = sft_cfg or model.cfg
+
+    def loss_fn(params, batch, rng):
+        b = batch["latents"].shape[0]
+        k_t, k_n = jax.random.split(rng)
+        t, sigma = fm.sample_train_timestep(
+            k_t, schedule, b, cfg.weighting_scheme, cfg.logit_mean,
+            cfg.logit_std,
+        )
+        sig5 = sigma.reshape(-1, 1, 1, 1, 1)
+        noise = jax.random.normal(k_n, batch["latents"].shape, jnp.float32)
+        noisy = fm.add_noise(batch["latents"], noise, sig5)
+        target = fm.train_target(batch["latents"], noise)
+        y = batch.get("cond") if cfg.is_i2v else None
+        clip_fea = batch.get("clip_fea") if cfg.is_i2v else None
+        v = model.dit.apply(params, noisy, t, batch["text"], y=y,
+                            clip_fea=clip_fea)
+        w = fm.loss_weighting(sig5)
+        loss = jnp.mean(w * jnp.square(v - target))
+        return loss, {}
+
+    def sft_step(state: common.TrainState, batch, rng):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        finite = jnp.isfinite(loss)
+        grads = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        new_state, gnorm = common.apply_grads(state, tx, grads)
+        return new_state, {"loss": jnp.where(finite, loss, 0.0),
+                           "grad_norm": gnorm}
+
+    return sft_step
