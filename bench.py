@@ -1,0 +1,135 @@
+"""Benchmark: PRFL post-training step time on the available TPU.
+
+Reference headline (BASELINE.md): 14B model, 720P x 81 frames (75,600
+tokens), sp=4 over 8 x 80GB GPUs -> 51.11 s/step (43.69 s without the SFT
+loss). This harness has ONE v5e-class chip, so we measure the full PRFL
+step (no-grad UniPC rollout + 1 grad step + frozen LRM reward + SFT step)
+at a single-chip-feasible scale and report:
+
+  * measured seconds/step at the bench scale
+  * an extrapolated 14B/75.6k-token estimate from the FLOP ratio
+  * vs_baseline = 51.11 / extrapolated (>1 means faster than reference)
+
+One JSON line on stdout, as required by the driver contract.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# ---- bench scale (fits one chip incl. fp32 AdamW state: ~0.6B params) ----
+# dim 1280 / 24 layers DiT, 480p-class bucket: grid f=8, 30x52 -> 3120 tokens
+BENCH_DIM = 1280
+BENCH_LAYERS = 24
+BENCH_FFN = 4480
+BENCH_HEADS = 10
+GRID = (8, 30, 52)
+ROLLOUT_STEPS = 8  # reference uses 40; FLOPs scale linearly in rollout length
+
+
+def _flops_scale():
+    """FLOP ratio (reference workload) / (bench workload) for extrapolation.
+
+    DiT fwd FLOPs ~ 2 * params * tokens + attention O(L^2 * dim). Use the
+    dominant dense term + attention term explicitly.
+    """
+    def step_flops(p, l, d, n_layers, rollout, grad_steps=2):
+        dense = 2.0 * p * l  # matmul FLOPs per fwd
+        attn = 4.0 * l * l * d * n_layers
+        fwd = dense + attn
+        # rollout fwds (avg rollout/2 actually random mid; use worst-case) +
+        # 1 fwd+bwd (3x fwd) + lrm fwd (0.2 of model) + sft fwd+bwd (3x)
+        return fwd * (rollout + 3 + 0.2 + 3)
+
+    ref = step_flops(14e9, 75600, 5120, 40, rollout=40)
+    ours = step_flops(
+        _bench_params(), GRID[0] * (GRID[1] // 2) * (GRID[2] // 2),
+        BENCH_DIM, BENCH_LAYERS, rollout=ROLLOUT_STEPS,
+    )
+    return ref / ours
+
+
+def _bench_params():
+    d, l, ffn = BENCH_DIM, BENCH_LAYERS, BENCH_FFN
+    per_block = 8 * d * d + 2 * d * ffn + 8 * d  # attn(self+cross) + ffn
+    return per_block * l + 30e6  # + embeds/head
+
+
+def main():
+    from hyvideo_prfl_tpu.models import wan_dit
+    from hyvideo_prfl_tpu.training import common
+    from hyvideo_prfl_tpu.training.pavrm import PavrmConfig
+    from hyvideo_prfl_tpu.training.prfl import (
+        PrflConfig, PrflModel, make_refl_step, make_sft_step,
+    )
+    from hyvideo_prfl_tpu.schedulers import flow_match as fm
+
+    dit_cfg = wan_dit.WanConfig(
+        model_type="t2v", dim=BENCH_DIM, ffn_dim=BENCH_FFN,
+        num_heads=BENCH_HEADS, num_layers=BENCH_LAYERS, remat=True,
+    )
+    pc = PavrmConfig(loss="ce", feature_layer=(8,))
+    prfl_cfg = PrflConfig(inference_steps=ROLLOUT_STEPS, flow_shift=5.0)
+    model = PrflModel(dit_cfg, pc, prfl_cfg)
+
+    params = wan_dit.init_params(dit_cfg, jax.random.PRNGKey(0))
+    lrm_trainable, lrm_frozen = model.lrm.init_all(jax.random.PRNGKey(1))
+    lrm_dit = common.merge_tree(
+        {"params": {"blocks": lrm_trainable["blocks"]}}, lrm_frozen
+    )
+    tx = common.make_optimizer(learning_rate=1e-6)
+    state = common.init_train_state(params, tx)
+
+    f, h, w = GRID
+    batch = {
+        "latents": jnp.zeros((1, f, h, w, 16), jnp.float32),
+        "text": jnp.zeros((1, dit_cfg.text_len, dit_cfg.text_dim), jnp.float32),
+    }
+    refl = jax.jit(make_refl_step(
+        model, tx, lrm_dit,
+        {"params": lrm_trainable["q_attn"]},
+        {"params": lrm_trainable["mlp"]},
+    ), donate_argnums=(0,))
+    sft = jax.jit(make_sft_step(model, tx, fm.train_schedule(1000)),
+                  donate_argnums=(0,))
+
+    rng = jax.random.PRNGKey(0)
+
+    def one_step(state, k):
+        state, m = refl(state, batch, k)
+        state, m2 = sft(state, batch, k)
+        return state, m, m2
+
+    # warmup/compile
+    rng, k = jax.random.split(rng)
+    state, m, m2 = one_step(state, k)
+    jax.block_until_ready(state.params)
+
+    times = []
+    for _ in range(3):
+        rng, k = jax.random.split(rng)
+        t0 = time.perf_counter()
+        state, m, m2 = one_step(state, k)
+        jax.block_until_ready(state.params)
+        times.append(time.perf_counter() - t0)
+    sec = min(times)
+
+    scale = _flops_scale()
+    extrapolated_14b = sec * scale / 8.0  # reference step is on 8 GPUs
+    vs = 51.11 / extrapolated_14b
+    print(json.dumps({
+        "metric": "prfl_step_seconds_0.6b_3120tok_1chip",
+        "value": round(sec, 3),
+        "unit": "s/step",
+        "vs_baseline": round(vs, 3),
+        "extrapolated_14b_75k6_8chip_s": round(extrapolated_14b, 2),
+        "baseline_14b_75k6_8gpu_s": 51.11,
+        "flop_scale": round(scale, 1),
+        "rollout_steps": ROLLOUT_STEPS,
+    }))
+
+
+if __name__ == "__main__":
+    main()
