@@ -1,0 +1,305 @@
+"""Pallas TPU flash attention (forward + backward), the DiT's hot kernel.
+
+Replaces the reference's flash-attn CUDA dependency
+(`wan/modules/attention.py:24-130`, flash_attn_varlen_func). Design follows
+the standard TPU flash-attention decomposition:
+
+* O(L) memory: the [Lq, Lk] score matrix never materializes in HBM.
+* Sequential TPU grid (batch*heads, q_blocks, k_blocks) with the k axis
+  innermost; online-softmax state (m, l, acc) lives in VMEM scratch and
+  persists across the k steps of one q block. Pallas pipelines the HBM->VMEM
+  block streaming automatically.
+* Backward = one small XLA precompute (delta = rowsum(dO * O)) + two Pallas
+  kernels: dq (k innermost, accumulate into scratch) and dk/dv (q innermost),
+  both recomputing the probabilities from the saved per-row logsumexp rather
+  than storing P (recompute-over-store, the right trade on HBM bandwidth).
+* Padding: fixed-shape sequences; optional `k_valid_len` masks padded keys
+  (replacing the varlen cu_seqlens API; Wan pads to a fixed seq_len anyway,
+  model.py:584-587).
+
+Layout contract: q, k, v are [B, L, N, D] (BLND); internally reshaped to
+[B*N, L, D]. D must be a multiple of 128 (Wan head_dim is exactly 128).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+NEG_INF = -1e30
+
+
+def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                acc_ref, m_ref, l_ref, *, block_k, scale, n_k):
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]  # [BQ, D]
+    k = k_ref[0]  # [BK, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BQ, BK]
+
+    valid = len_ref[pl.program_id(0)]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_idx * block_k
+    s = jnp.where(col < valid, s, NEG_INF)
+
+    m_prev = m_ref[:]  # [BQ, 128] (broadcast lanes)
+    m_cur = jnp.max(s, axis=1, keepdims=True)  # [BQ, 1]
+    m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+    corr = jnp.exp(m_prev[:, :1] - m_new[:, :1])  # [BQ, 1]
+    p = jnp.exp(s - m_new[:, :1])  # [BQ, BK] f32
+    l_new = l_ref[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = m_new
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(k_idx == n_k - 1)
+    def _finish():
+        l = l_ref[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0] = (m_ref[:] + jnp.log(jnp.maximum(l_ref[:], 1e-30)))
+
+
+def _dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+               dq_ref, dq_acc, *, block_k, scale, n_k):
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    valid = len_ref[pl.program_id(0)]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_idx * block_k
+    s = jnp.where(col < valid, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, :1])  # [BQ, BK]
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0][:, :1]) * scale
+    dq_acc[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k_idx == n_k - 1)
+    def _finish():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc, *, block_k, scale, n_q):
+    q_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]  # [BQ, D]
+    k = k_ref[0]  # [BK, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    valid = len_ref[pl.program_id(0)]
+    k_base = pl.program_id(1) * block_k
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_base
+    s = jnp.where(col < valid, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, :1])  # [BQ, BK]
+    # dv += P^T dO
+    dv_acc[:] += jax.lax.dot_general(
+        p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0][:, :1]) * scale  # [BQ, BK]
+    dk_acc[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(q_idx == n_q - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _pad_len(l, b):
+    return (l + b - 1) // b * b
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5)
+)
+def _flash(q, k, v, valid, block_q, block_k):
+    o, _ = _flash_fwd_impl(q, k, v, valid, block_q, block_k)
+    return o
+
+
+def _flash_fwd_impl(q, k, v, valid, block_q, block_k):
+    bn, lq, d = q.shape
+    lk = k.shape[1]
+    n_q = lq // block_q
+    n_k = lk // block_k
+    scale = 1.0 / (d ** 0.5)
+    kernel = functools.partial(
+        _fwd_kernel, block_k=block_k, scale=scale, n_k=n_k
+    )
+    grid = (bn, n_q, n_k)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, j, s_: (b, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j, s_: (b, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j, s_: (b, j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, j, s_: (b, i, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda b, i, j, s_: (b, i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, d), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bn, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((bn, lq, 128), jnp.float32),
+        ],
+    )(valid, q, k, v)
+    return o, lse
+
+
+def _flash_fwd(q, k, v, valid, block_q, block_k):
+    o, lse = _flash_fwd_impl(q, k, v, valid, block_q, block_k)
+    return o, (q, k, v, valid, o, lse)
+
+
+def _flash_bwd(block_q, block_k, res, do):
+    q, k, v, valid, o, lse = res
+    bn, lq, d = q.shape
+    lk = k.shape[1]
+    n_q = lq // block_q
+    n_k = lk // block_k
+    scale = 1.0 / (d ** 0.5)
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)  # [BN, Lq, 1]
+    delta = jnp.broadcast_to(delta, (bn, lq, 128))
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, block_k=block_k, scale=scale, n_k=n_k),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bn, n_q, n_k),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, j, s_: (b, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j, s_: (b, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j, s_: (b, j, 0)),
+                pl.BlockSpec((1, block_q, d), lambda b, i, j, s_: (b, i, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda b, i, j, s_: (b, i, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda b, i, j, s_: (b, i, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j, s_: (b, i, 0)),
+            scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bn, lq, d), q.dtype),
+    )(valid, q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, block_k=block_k, scale=scale, n_q=n_q),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bn, n_k, n_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, j, i, s_: (b, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, j, i, s_: (b, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, j, i, s_: (b, j, 0)),
+                pl.BlockSpec((1, block_q, d), lambda b, j, i, s_: (b, i, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda b, j, i, s_: (b, i, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda b, j, i, s_: (b, i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_k, d), lambda b, j, i, s_: (b, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, j, i, s_: (b, j, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, d), jnp.float32),
+                pltpu.VMEM((block_k, d), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bn, lk, d), k.dtype),
+            jax.ShapeDtypeStruct((bn, lk, d), v.dtype),
+        ],
+    )(valid, q, k, v, do, lse, delta)
+    return dq, dk, dv, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    k_valid_len: Optional[jnp.ndarray] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """Flash attention over [B, L, N, D] tensors; returns [B, Lq, N, D]."""
+    b, lq, n, d = q.shape
+    lk = k.shape[1]
+    assert d % 128 == 0, f"head_dim {d} must be a multiple of 128"
+
+    lq_p = _pad_len(lq, block_q)
+    lk_p = _pad_len(lk, block_k)
+
+    def bnld(x, lp):
+        x = jnp.moveaxis(x, 2, 1).reshape(b * n, x.shape[1], d)
+        if lp != x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, lp - x.shape[1]), (0, 0)))
+        return x
+
+    qb = bnld(q, lq_p)
+    kb = bnld(k, lk_p)
+    vb = bnld(v, lk_p)
+
+    if k_valid_len is None:
+        valid = jnp.full((b,), lk, jnp.int32)
+    else:
+        valid = k_valid_len.astype(jnp.int32)
+    valid = jnp.repeat(valid, n)  # [B*N] scalar-prefetch vector
+
+    o = _flash(qb, kb, vb, valid, block_q, block_k)
+    o = o[:, :lq].reshape(b, n, lq, d)
+    return jnp.moveaxis(o, 1, 2)

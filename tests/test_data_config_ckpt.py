@@ -1,0 +1,230 @@
+"""Data layer, config loader, and checkpoint interop tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hyvideo_prfl_tpu.configs import (
+    load_config, dit_config_for_task, WAN_CONFIGS, SIZE_CONFIGS,
+)
+from hyvideo_prfl_tpu.data.dataset import LatentCacheDataset, coerce_label
+from hyvideo_prfl_tpu.data.loader import (
+    BlockDistributedSampler, BatchIterator, stack_batch,
+)
+
+
+@pytest.fixture()
+def fixture_dataset(tmp_path):
+    """Synthetic latent cache in the reference's on-disk format."""
+    lat_dir = tmp_path / "latents"
+    meta_dir = tmp_path / "meta"
+    null_dir = tmp_path / "null" / "wanx"
+    for d in (lat_dir, meta_dir, null_dir):
+        d.mkdir(parents=True)
+    np.save(null_dir / "null.npy", np.zeros((1, 1, 4096), np.float32))
+    np.save(null_dir / "uncond.npy", np.random.randn(1, 20, 4096).astype(np.float32))
+
+    metas = []
+    for i in range(6):
+        base = f"clip{i}"
+        lat = np.random.randn(1, 16, 3, 8, 8).astype(np.float32)
+        np.save(lat_dir / f"{base}.npy", lat)
+        np.save(lat_dir / f"{base}_f1_black.npy", lat * 0.5)
+        np.save(lat_dir / f"{base}_img_clip.npy",
+                np.random.randn(1, 257, 1280).astype(np.float32))
+        np.save(lat_dir / f"{base}_textshort.npy",
+                np.random.randn(1, 12, 4096).astype(np.float32))
+        np.save(lat_dir / f"{base}_textlong.npy",
+                np.random.randn(1, 40, 4096).astype(np.float32))
+        meta = {
+            "source_id": base,
+            "short_caption": f"short {i}",
+            "long_caption": f"long {i}",
+            "vae_latent_path": str(lat_dir / f"{base}.npy"),
+            "f1_black_path": str(lat_dir / f"{base}_f1_black.npy"),
+            "imgclip_path": str(lat_dir / f"{base}_img_clip.npy"),
+            "textshort_path": str(lat_dir / f"{base}_textshort.npy"),
+            "textlong_path": str(lat_dir / f"{base}_textlong.npy"),
+            "motion_quality": "good" if i % 2 == 0 else "poor",
+        }
+        mpath = meta_dir / f"{base}_meta_v1.json"
+        mpath.write_text(json.dumps(meta))
+        metas.append(str(mpath))
+    list_file = tmp_path / "data.list"
+    list_file.write_text("\n".join(metas))
+    return tmp_path, str(list_file)
+
+
+def test_refl_dataset_shapes(fixture_dataset):
+    root, list_file = fixture_dataset
+    ds = LatentCacheDataset(
+        "refl", [list_file], text_len=64,
+        null_dir=str(root / "null"), seed=0,
+    )
+    s = ds[0]
+    assert s["latents"].shape == (3, 8, 8, 16)  # THWC
+    assert s["text"].shape == (64, 4096)
+    assert s["uncond_text"].shape == (64, 4096)
+    assert s["cond"].shape == (3, 8, 8, 16)
+    assert s["clip_fea"].shape == (257, 1280)
+    assert isinstance(s["prompt"], str)
+
+
+def test_ce_dataset_labels(fixture_dataset):
+    root, list_file = fixture_dataset
+    ds = LatentCacheDataset(
+        "lrm_ce", [list_file], text_len=32,
+        null_dir=str(root / "null"), label_key="motion_quality", seed=0,
+    )
+    labels = [float(ds[i]["labels"]) for i in range(6)]
+    assert labels == [1.0, 0.0, 1.0, 0.0, 1.0, 0.0]
+
+
+def test_bt_dataset(fixture_dataset):
+    root, list_file = fixture_dataset
+    ds = LatentCacheDataset(
+        "lrm_bt_online", [list_file], meta_file_lose_list=[list_file],
+        text_len=32, null_dir=str(root / "null"), seed=1,
+    )
+    s = ds[0]
+    assert s["latents_lose"].shape == s["latents"].shape
+
+
+def test_bad_data_retry(fixture_dataset, tmp_path):
+    root, list_file = fixture_dataset
+    # corrupt one meta path: point to a nonexistent file
+    broken = tmp_path / "broken.json"
+    broken.write_text(json.dumps({"vae_latent_path": "/nonexistent.npy"}))
+    lines = open(list_file).read().splitlines()
+    lines[0] = str(broken)
+    lf2 = tmp_path / "data2.list"
+    lf2.write_text("\n".join(lines))
+    ds = LatentCacheDataset("refl", [str(lf2)], text_len=32,
+                            null_dir=str(root / "null"), seed=0)
+    s = ds[0]  # must resample another index instead of crashing
+    assert s["latents"].shape == (3, 8, 8, 16)
+
+
+def test_block_sampler_partition_and_resume():
+    s0 = BlockDistributedSampler(100, num_replicas=4, rank=0)
+    s3 = BlockDistributedSampler(100, num_replicas=4, rank=3)
+    assert list(s0)[:3] == [0, 1, 2]
+    assert list(s3)[:3] == [75, 76, 77]
+    sr = BlockDistributedSampler(100, num_replicas=4, rank=1, start_index=10)
+    assert list(sr)[0] == 35
+    assert len(sr) == 15
+
+
+def test_batch_iterator_wraps_epochs(fixture_dataset):
+    root, list_file = fixture_dataset
+    ds = LatentCacheDataset("refl", [list_file], text_len=32,
+                            null_dir=str(root / "null"), seed=0)
+    sampler = BlockDistributedSampler(len(ds), 1, 0)
+    it = iter(BatchIterator(ds, sampler, batch_size=2, prefetch=0))
+    for _ in range(5):  # 6 samples / batch 2 = 3 batches per epoch; wraps
+        b = next(it)
+        assert b["latents"].shape == (2, 3, 8, 8, 16)
+        assert len(b["prompt"]) == 2
+
+
+def test_config_loads_reference_schema(tmp_path):
+    cfg = load_config("configs/train_prfl_i2v_720.yaml")
+    assert cfg.task == "i2v-14b-720p"
+    assert cfg.dataset.sp_size == 4
+    assert cfg.model.fsdp.fsdp_sharding_startegy == "full"
+    assert cfg.lrm.feature_layer == [8]
+    assert cfg.lrm.trainable_blocks == list(range(8))
+    assert cfg.extra_model.scheduler.flow_shift == 5.0
+    assert cfg.train.gradient_accumulation_steps == 5
+    # defaults fill unspecified keys
+    assert cfg.optimizer.adam_epsilon == 1e-8
+
+
+def test_dit_config_for_task():
+    assert dit_config_for_task("i2v-14b-720p").dim == 5120
+    assert dit_config_for_task("i2v-14b-720p").in_dim == 36
+    assert dit_config_for_task("t2v-1.3b").num_layers == 30
+    assert WAN_CONFIGS["t2v-14B"]().num_heads == 40
+    assert SIZE_CONFIGS["720*1280"] == (720, 1280)
+
+
+def test_coerce_label():
+    assert coerce_label("good") == 1.0
+    assert coerce_label("poor") == 0.0
+    assert coerce_label(1) == 1.0
+    assert coerce_label(0) == 0.0
+
+
+class TestCheckpointInterop:
+    def _params(self, cfg):
+        import jax
+        from hyvideo_prfl_tpu.models import wan_dit
+        return wan_dit.init_params(cfg, jax.random.PRNGKey(0))
+
+    def test_roundtrip_t2v(self):
+        import jax
+        from hyvideo_prfl_tpu.models import wan_dit
+        from hyvideo_prfl_tpu.utils import checkpoint as ck
+        cfg = wan_dit.tiny_test(remat=False)
+        params = self._params(cfg)
+        state = ck.flax_to_torch_state(jax.device_get(params), cfg)
+        # reference key-name surface
+        assert "blocks.0.self_attn.q.weight" in state
+        assert "blocks.1.ffn.2.bias" in state
+        assert "head.modulation" in state
+        assert "patch_embedding.weight" in state
+        assert state["patch_embedding.weight"].shape == (128, 16, 1, 2, 2)
+        back = ck.torch_state_to_flax(state, cfg)
+        flat1 = jax.tree.leaves(params)
+        flat2 = jax.tree.leaves(back)
+        assert len(flat1) == len(flat2)
+        for a, b in zip(jax.tree.leaves(jax.device_get(params)),
+                        jax.tree.leaves(jax.device_get(back))):
+            np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_patch_embedding_matches_torch_conv3d(self):
+        """The Dense patch embed == torch Conv3d(stride=kernel) on the same
+        weights (the layout contract for released checkpoints)."""
+        import torch
+        import jax
+        import jax.numpy as jnp
+        from hyvideo_prfl_tpu.models import wan_dit
+        from hyvideo_prfl_tpu.utils import checkpoint as ck
+
+        cfg = wan_dit.tiny_test(remat=False)
+        params = self._params(cfg)
+        state = ck.flax_to_torch_state(jax.device_get(params), cfg)
+        w = torch.from_numpy(state["patch_embedding.weight"].copy())
+        b = torch.from_numpy(state["patch_embedding.bias"].copy())
+        x = np.random.RandomState(0).randn(1, 16, 4, 8, 8).astype(np.float32)
+        ref = torch.nn.functional.conv3d(
+            torch.from_numpy(x), w, b, stride=(1, 2, 2)
+        ).numpy()  # [1, dim, 4, 4, 4]
+
+        # our path: channel-last patchify + Dense kernel
+        xl = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))  # [1,4,8,8,16]
+        bsz, f, h, wd, c = xl.shape
+        xp = xl.reshape(1, 4, 1, 4, 2, 4, 2, 16)
+        xp = xp.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(1, 64, 1 * 2 * 2 * 16)
+        k = params["params"]["patch_embedding"]["kernel"]
+        bias = params["params"]["patch_embedding"]["bias"]
+        ours = (xp @ k + bias).reshape(1, 4, 4, 4, cfg.dim)
+        ref_l = np.transpose(ref, (0, 2, 3, 4, 1))  # to [1,4,4,4,dim]
+        np.testing.assert_allclose(np.asarray(ours), ref_l, atol=1e-4)
+
+    def test_safetensors_shard_roundtrip(self, tmp_path):
+        import jax
+        from hyvideo_prfl_tpu.models import wan_dit
+        from hyvideo_prfl_tpu.utils import checkpoint as ck
+        cfg = wan_dit.tiny_test(remat=False)
+        params = self._params(cfg)
+        out = ck.save_wan_checkpoint(params, cfg, str(tmp_path), step=7)
+        assert out.endswith("checkpoint-7")
+        assert os.path.exists(os.path.join(out, "config.json"))
+        assert ck.parse_resume_step(out) == 7
+        loaded = ck.load_wan_checkpoint(out, cfg)
+        for a, b in zip(jax.tree.leaves(jax.device_get(params)),
+                        jax.tree.leaves(jax.device_get(loaded))):
+            np.testing.assert_allclose(a, b, atol=1e-6)

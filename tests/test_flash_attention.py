@@ -1,0 +1,109 @@
+"""Flash attention kernel vs XLA reference (interpret mode on CPU)."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hyvideo_prfl_tpu.ops import attention as attn_mod
+from hyvideo_prfl_tpu.ops import flash_attention as fa
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    """Run pallas kernels in interpreter mode on CPU."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    )
+    yield
+
+
+def _rand_qkv(key, b=1, l=256, n=2, d=128, lk=None, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(key), 3)
+    lk = lk or l
+    q = jax.random.normal(ks[0], (b, l, n, d), dtype)
+    k = jax.random.normal(ks[1], (b, lk, n, d), dtype)
+    v = jax.random.normal(ks[2], (b, lk, n, d), dtype)
+    return q, k, v
+
+
+def test_forward_matches_xla():
+    q, k, v = _rand_qkv(0)
+    out_flash = fa.flash_attention(q, k, v)
+    out_xla = attn_mod._xla_attention(q, k, v, None)
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_xla), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_forward_unpadded_vs_padded_seq():
+    """Lq=200 (not a block multiple) must pad internally and still match."""
+    q, k, v = _rand_qkv(1, l=200)
+    out_flash = fa.flash_attention(q, k, v)
+    out_xla = attn_mod._xla_attention(q, k, v, None)
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_xla), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_k_valid_len_masking():
+    q, k, v = _rand_qkv(2, b=2, l=128, lk=256)
+    valid = jnp.asarray([100, 256], jnp.int32)
+    out_flash = fa.flash_attention(q, k, v, k_valid_len=valid)
+    out_xla = attn_mod._xla_attention(q, k, v, valid)
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_xla), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_backward_matches_xla():
+    q, k, v = _rand_qkv(3, l=256)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attn_mod._xla_attention(q, k, v, None) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gx, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_backward_with_masking():
+    q, k, v = _rand_qkv(4, b=2, l=128, lk=256)
+    valid = jnp.asarray([100, 192], jnp.int32)
+
+    gf = jax.grad(lambda q, k, v: jnp.sum(
+        fa.flash_attention(q, k, v, k_valid_len=valid) ** 2
+    ), argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda q, k, v: jnp.sum(
+        attn_mod._xla_attention(q, k, v, valid) ** 2
+    ), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gx, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4,
+            err_msg=f"d{name} mismatch",
+        )
+    # grads w.r.t. masked-out keys must be exactly zero
+    np.testing.assert_array_equal(np.asarray(gf[1][0, 100:]), 0.0)
+    np.testing.assert_array_equal(np.asarray(gf[2][0, 100:]), 0.0)
+
+
+def test_bf16_forward():
+    q, k, v = _rand_qkv(5, l=256, dtype=jnp.bfloat16)
+    out_flash = fa.flash_attention(q, k, v)
+    out_xla = attn_mod._xla_attention(q, k, v, None)
+    assert out_flash.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out_flash, np.float32), np.asarray(out_xla, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
