@@ -139,9 +139,24 @@ def _merge(base: Dict, override: Dict) -> Dict:
     return out
 
 
+_SCI_FLOAT = __import__("re").compile(r"^[+-]?\d+(\.\d*)?[eE][+-]?\d+$")
+
+
+def _coerce_numbers(obj):
+    """pyyaml parses '1e-3' (no dot) as a string; OmegaConf coerces it.
+    Match that behavior for unambiguous scientific-notation literals."""
+    if isinstance(obj, dict):
+        return {k: _coerce_numbers(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_coerce_numbers(v) for v in obj]
+    if isinstance(obj, str) and _SCI_FLOAT.match(obj):
+        return float(obj)
+    return obj
+
+
 def load_config(path: str) -> AttrDict:
     with open(path) as f:
-        raw = yaml.safe_load(f) or {}
+        raw = _coerce_numbers(yaml.safe_load(f) or {})
     cfg = AttrDict.wrap(_merge(_DEFAULTS, raw))
     # normalized float coercions the reference tolerates (e.g. "5." steps)
     cfg["train"]["gradient_accumulation_steps"] = int(

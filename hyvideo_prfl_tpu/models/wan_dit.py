@@ -457,8 +457,11 @@ def init_params(cfg: WanConfig, rng, sample_shape=(1, 4, 8, 8, None),
         else None
     )
     ctx = jnp.zeros((b, text_len or cfg.text_len, cfg.text_dim), jnp.float32)
+    # flf2v convention: first+last frame CLIP tokens stacked on batch
+    # ([2B, 257, 1280]), fused to [B, 514, dim] inside MLPProj
     clip = (
-        jnp.zeros((b, 257 * (2 if cfg.model_type == "flf2v" else 1), 1280), jnp.float32)
+        jnp.zeros((b * (2 if cfg.model_type == "flf2v" else 1), 257, 1280),
+                  jnp.float32)
         if cfg.model_type in ("i2v", "flf2v")
         else None
     )

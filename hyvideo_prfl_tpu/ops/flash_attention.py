@@ -31,8 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
+DEFAULT_BLOCK_Q = 512  # measured best on v5e (41.6 TF/s @ 8k tokens)
+DEFAULT_BLOCK_K = 512
 NEG_INF = -1e30
 
 
@@ -281,6 +281,9 @@ def flash_attention(
     lk = k.shape[1]
     assert d % 128 == 0, f"head_dim {d} must be a multiple of 128"
 
+    # clamp blocks for short sequences (pad to 128 granularity first)
+    block_q = min(block_q, _pad_len(lq, 128))
+    block_k = min(block_k, _pad_len(lk, 128))
     lq_p = _pad_len(lq, block_q)
     lk_p = _pad_len(lk, block_k)
 

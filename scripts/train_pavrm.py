@@ -1,0 +1,137 @@
+"""PAVRM reward-model training CLI.
+
+Usage parity with the reference (scripts/pavrm/train_pavrm.py:1368):
+
+    python scripts/train_pavrm.py --config_path configs/train_pavrm_t2v_480.yaml
+
+Loads the same YAML schema, reads the same latent-cache dataset format, and
+runs the jitted PAVRM train step (ce or bt) over the (data, sp) mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scripts._common import MetricLogger, StepTimer, build_mesh, dit_cfg_from
+from hyvideo_prfl_tpu.configs import load_config
+from hyvideo_prfl_tpu.data.dataset import LatentCacheDataset
+from hyvideo_prfl_tpu.data.loader import BlockDistributedSampler, BatchIterator
+from hyvideo_prfl_tpu.models import wan_dit
+from hyvideo_prfl_tpu.parallel import sharding as shd
+from hyvideo_prfl_tpu.schedulers import flow_match as fm
+from hyvideo_prfl_tpu.training import common
+from hyvideo_prfl_tpu.training.pavrm import (
+    PavrmConfig, PavrmModel, classification_metrics, make_eval_step,
+    make_train_step,
+)
+from hyvideo_prfl_tpu.utils import checkpoint as ck
+
+
+def main(config, max_steps=None):
+    out_dir = os.path.join(config.save.output_dir, config.train_id)
+    os.makedirs(out_dir, exist_ok=True)
+    logging.basicConfig(level=logging.INFO)
+    logger = MetricLogger(config.save.log_dir or os.path.join(out_dir, "logs"))
+
+    mesh = build_mesh(config)
+    is_i2v = "i2v" in config.task or "flf2v" in config.task
+    dit_cfg = dit_cfg_from(config)
+
+    pc = PavrmConfig(
+        loss=config.lrm.loss,
+        pool=config.lrm.pool,
+        feature_layer=tuple(config.lrm.feature_layer),
+        trainable_blocks=tuple(config.lrm.trainable_blocks),
+        num_queries=config.lrm.query_attention.num_queries,
+        num_heads=config.lrm.query_attention.num_heads,
+        return_type=config.lrm.query_attention.return_type,
+        timesteps=tuple(config.lrm.timestep) if config.lrm.timestep else None,
+        weighting_scheme=config.extra_model.scheduler.weighting_scheme,
+        logit_mean=config.extra_model.scheduler.logit_mean,
+        logit_std=config.extra_model.scheduler.logit_std,
+        task=config.task,
+    )
+    policy = shd.ShardingPolicy() if mesh.devices.size > 1 else None
+    model = PavrmModel(dit_cfg, pc, policy)
+
+    rng = jax.random.PRNGKey(config.train.seed)
+    base = config.model.base_path
+    if base and os.path.isdir(base):
+        logging.info("loading base DiT from %s", base)
+        full = ck.load_wan_checkpoint(base, dit_cfg)
+        trimmed = common.slice_blocks(full, model.dit_cfg.num_layers)
+        trainable = {"blocks": trimmed["params"]["blocks"]}
+        frozen = {"params": {k: v for k, v in trimmed["params"].items()
+                             if k != "blocks"}}
+        qp, mp = model.init_head_params(rng)
+        trainable["q_attn"] = qp["params"]
+        trainable["mlp"] = mp["params"]
+    else:
+        logging.info("no base checkpoint; random init (smoke mode)")
+        trainable, frozen = model.init_all(rng)
+
+    tx = common.make_optimizer(
+        learning_rate=config.optimizer.learning_rate,
+        adam_beta1=config.optimizer.adam_beta1,
+        adam_beta2=config.optimizer.adam_beta2,
+        weight_decay=config.optimizer.weight_decay,
+        lr_scheduler=config.optimizer.lr_scheduler,
+        lr_warmup_steps=config.optimizer.lr_warmup_steps,
+        max_train_steps=config.optimizer.max_train_steps,
+        gradient_accumulation_steps=config.train.gradient_accumulation_steps,
+    )
+    state = common.init_train_state(trainable, tx)
+
+    ds_type = "lrm_ce" if pc.loss == "ce" else "lrm_bt_online"
+    dataset = LatentCacheDataset(
+        ds_type,
+        meta_file_list=list(config.dataset.meta_file_list),
+        meta_file_lose_list=list(config.dataset.get("meta_file_lose_list", [])),
+        uncond_prob=list(config.dataset.uncond_prob),
+        text_len=config.extra_model.get_path("text_encoder.t5_text_len", 512),
+        label_key=config.lrm.task,
+        is_i2v=is_i2v,
+        seed=config.train.seed,
+    )
+    sampler = BlockDistributedSampler(len(dataset), 1, 0)
+    loader = iter(BatchIterator(dataset, sampler,
+                                batch_size=config.dataset.batch_size))
+
+    step_fn = make_train_step(model, tx, fm.train_schedule(
+        config.extra_model.scheduler.num_train_timesteps), frozen)
+    with jax.set_mesh(mesh):
+        step_fn = jax.jit(step_fn)
+        timer = StepTimer()
+        n_steps = max_steps or config.optimizer.max_train_steps
+        for step in range(n_steps):
+            batch = next(loader)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()
+                     if not isinstance(v, list)}
+            rng, k = jax.random.split(rng)
+            timer.tic()
+            state, metrics = step_fn(state, batch, k)
+            metrics = {k2: float(v) for k2, v in metrics.items()}
+            dt = timer.toc()
+            logger.log(step, {**metrics, "step_time": dt})
+            if (step + 1) % config.train.save_interval == 0:
+                path = os.path.join(out_dir, f"checkpoint-{step + 1}")
+                ck.save_orbax(path, jax.device_get(state.params))
+                logging.info("saved %s", path)
+    return state
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_path", required=True)
+    p.add_argument("--max_steps", type=int, default=None)
+    args = p.parse_args()
+    main(load_config(args.config_path), max_steps=args.max_steps)

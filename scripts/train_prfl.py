@@ -1,0 +1,183 @@
+"""PRFL post-training CLI.
+
+Usage parity with the reference (scripts/prfl/train_prfl.py:1190-1199):
+
+    python scripts/train_prfl.py --config_path configs/train_prfl_i2v_720.yaml
+
+Every outer step runs the PRFL reward step AND the flow-matching SFT step
+(reference main loop, train_prfl.py:1130-1185), both as single jitted
+computations over the (data, sp) mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scripts._common import MetricLogger, StepTimer, build_mesh, dit_cfg_from
+from hyvideo_prfl_tpu.configs import load_config
+from hyvideo_prfl_tpu.data.dataset import LatentCacheDataset
+from hyvideo_prfl_tpu.data.loader import BlockDistributedSampler, BatchIterator
+from hyvideo_prfl_tpu.models import wan_dit
+from hyvideo_prfl_tpu.parallel import sharding as shd
+from hyvideo_prfl_tpu.schedulers import flow_match as fm
+from hyvideo_prfl_tpu.training import common, ema as ema_mod
+from hyvideo_prfl_tpu.training.pavrm import PavrmConfig
+from hyvideo_prfl_tpu.training.prfl import (
+    PrflConfig, PrflModel, make_refl_step, make_sft_step,
+)
+from hyvideo_prfl_tpu.utils import checkpoint as ck
+
+
+def main(config, max_steps=None):
+    out_dir = os.path.join(config.save.output_dir, config.train_id)
+    os.makedirs(out_dir, exist_ok=True)
+    logging.basicConfig(level=logging.INFO)
+    logger = MetricLogger(config.save.log_dir or os.path.join(out_dir, "logs"))
+
+    mesh = build_mesh(config)
+    is_i2v = "i2v" in config.task or "flf2v" in config.task
+    dit_cfg = dit_cfg_from(config)
+
+    pc = PavrmConfig(
+        loss=config.lrm.get("loss", "ce"),
+        pool=config.lrm.pool,
+        feature_layer=tuple(config.lrm.feature_layer),
+        trainable_blocks=tuple(config.lrm.trainable_blocks),
+        num_queries=config.lrm.query_attention.num_queries,
+        num_heads=config.lrm.query_attention.num_heads,
+        return_type=config.lrm.query_attention.return_type,
+    )
+    prfl_cfg = PrflConfig(
+        inference_steps=int(config.get("prfl_inference_steps", 40)),
+        flow_shift=config.extra_model.scheduler.flow_shift,
+        num_train_timesteps=config.extra_model.scheduler.num_train_timesteps,
+        weighting_scheme=config.extra_model.scheduler.weighting_scheme,
+        logit_mean=config.extra_model.scheduler.logit_mean,
+        logit_std=config.extra_model.scheduler.logit_std,
+        is_i2v=is_i2v,
+    )
+    policy = shd.ShardingPolicy() if mesh.devices.size > 1 else None
+    model = PrflModel(dit_cfg, pc, prfl_cfg, policy)
+
+    rng = jax.random.PRNGKey(config.train.seed)
+
+    # --- policy transformer params ---
+    resume = config.model.resume_transformer_path
+    base = config.model.init_transformer_path or config.model.base_path
+    start_step = 0
+    if resume and os.path.isdir(resume):
+        logging.info("resuming policy from %s", resume)
+        params = ck.load_wan_checkpoint(resume, dit_cfg)
+        start_step = ck.parse_resume_step(resume)
+    elif base and os.path.isdir(base):
+        logging.info("loading policy base from %s", base)
+        params = ck.load_wan_checkpoint(base, dit_cfg)
+    else:
+        logging.info("no base checkpoint; random init (smoke mode)")
+        params = wan_dit.init_params(dit_cfg, rng)
+
+    # --- frozen LRM tower (trimmed DiT + heads) ---
+    lrm_path = config.model.lrm_transformer_path
+    if lrm_path and os.path.isdir(lrm_path):
+        lrm_full = ck.load_wan_checkpoint(lrm_path, dit_cfg)
+        lrm_dit = common.slice_blocks(lrm_full, model.lrm.dit_cfg.num_layers)
+        lq = ck.load_orbax(config.model.lrm_query_attention_path)
+        lm = ck.load_orbax(config.model.lrm_mlp_path)
+        lrm_q, lrm_m = {"params": lq}, {"params": lm}
+    else:
+        logging.info("no LRM checkpoint; random init (smoke mode)")
+        lrm_trainable, lrm_frozen = model.lrm.init_all(jax.random.PRNGKey(1))
+        lrm_dit = common.merge_tree(
+            {"params": {"blocks": lrm_trainable["blocks"]}}, lrm_frozen)
+        lrm_q = {"params": lrm_trainable["q_attn"]}
+        lrm_m = {"params": lrm_trainable["mlp"]}
+
+    tx = common.make_optimizer(
+        learning_rate=config.optimizer.learning_rate,
+        adam_beta1=config.optimizer.adam_beta1,
+        adam_beta2=config.optimizer.adam_beta2,
+        weight_decay=config.optimizer.weight_decay,
+        lr_scheduler=config.optimizer.lr_scheduler,
+        lr_warmup_steps=config.optimizer.lr_warmup_steps,
+        max_train_steps=config.optimizer.max_train_steps,
+        gradient_accumulation_steps=config.train.gradient_accumulation_steps,
+    )
+    state = common.init_train_state(params, tx)
+    use_ema = config.model.ema.use_ema
+    ema_params = ema_mod.ema_init(params) if use_ema else None
+
+    dataset = LatentCacheDataset(
+        "refl",
+        meta_file_list=list(config.dataset.meta_file_list),
+        uncond_prob=list(config.dataset.uncond_prob),
+        text_len=config.extra_model.get_path("text_encoder.t5_text_len", 512),
+        is_i2v=is_i2v,
+        seed=config.train.seed,
+    )
+    sampler = BlockDistributedSampler(len(dataset), 1, 0,
+                                      start_index=start_step % max(len(dataset), 1))
+    loader = iter(BatchIterator(dataset, sampler,
+                                batch_size=config.dataset.batch_size))
+
+    refl_fn = make_refl_step(model, tx, lrm_dit, lrm_q, lrm_m)
+    sft_fn = make_sft_step(model, tx, fm.train_schedule(
+        config.extra_model.scheduler.num_train_timesteps))
+
+    with jax.set_mesh(mesh):
+        refl_fn = jax.jit(refl_fn)
+        sft_fn = jax.jit(sft_fn)
+        timer_refl, timer_sft = StepTimer(), StepTimer()
+        n_steps = max_steps or config.optimizer.max_train_steps
+        for step in range(start_step, n_steps):
+            batch = next(loader)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()
+                     if not isinstance(v, list)}
+            rng, k1, k2 = jax.random.split(rng, 3)
+
+            timer_refl.tic()
+            state, m_refl = refl_fn(state, batch, k1)
+            m_refl = {k3: float(v) for k3, v in m_refl.items()}
+            t_refl = timer_refl.toc()
+
+            timer_sft.tic()
+            state, m_sft = sft_fn(state, batch, k2)
+            m_sft = {k3: float(v) for k3, v in m_sft.items()}
+            t_sft = timer_sft.toc()
+
+            if use_ema:
+                ema_params = ema_mod.ema_update(
+                    ema_params, state.params, config.model.ema.ema_decay)
+
+            logger.log(step, {
+                "refl_loss": m_refl["loss"], "reward": m_refl["reward"],
+                "sft_loss": m_sft["loss"], "grad_norm": m_refl["grad_norm"],
+                "t_refl": t_refl, "t_sft": t_sft,
+            })
+
+            if (step + 1) % config.train.save_interval == 0:
+                ck.save_wan_checkpoint(
+                    jax.device_get(state.params), dit_cfg, out_dir,
+                    step=step + 1)
+                if use_ema:
+                    ck.save_wan_checkpoint(
+                        jax.device_get(ema_params), dit_cfg,
+                        out_dir + "-ema", step=step + 1)
+                logging.info("saved checkpoint-%d", step + 1)
+    return state
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_path", required=True)
+    p.add_argument("--max_steps", type=int, default=None)
+    args = p.parse_args()
+    main(load_config(args.config_path), max_steps=args.max_steps)
