@@ -94,6 +94,7 @@ _DEFAULTS: Dict[str, Any] = {
     },
     "dataset": {
         "meta_file_list": [], "meta_file_lose_list": [],
+        "null_dir": None,
         "val_meta_file_list": [],
         "crop_ratio": [1, 1, 1], "crop_type": "random",
         "uncond_prob": [0.0, 0.0], "sp_size": 1, "batch_size": 1,

@@ -87,10 +87,15 @@ class BatchIterator:
             self.sampler.start_index = 0  # subsequent epochs start at 0
 
     def _worker(self):
-        for batch in self._gen():
-            if self.to_device is not None:
-                batch = self.to_device(batch)
-            self._q.put(batch)
+        # propagate exceptions to the consumer instead of dying silently
+        # (a dead daemon worker would deadlock the q.get below)
+        try:
+            for batch in self._gen():
+                if self.to_device is not None:
+                    batch = self.to_device(batch)
+                self._q.put(batch)
+        except BaseException as e:  # noqa: BLE001
+            self._q.put(e)
 
     def __iter__(self):
         if self.prefetch > 0:
@@ -99,7 +104,10 @@ class BatchIterator:
                 self._thread = threading.Thread(target=self._worker, daemon=True)
                 self._thread.start()
             while True:
-                yield self._q.get()
+                item = self._q.get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
         else:
             for batch in self._gen():
                 if self.to_device is not None:

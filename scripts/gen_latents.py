@@ -1,0 +1,126 @@
+"""Preprocess: video + captions -> latent cache (.npy + meta JSON).
+
+Parity target: `scripts/preprocess/gen_wanx_latent.py` (main_wan, :261-335):
+decode video on the host, fps-resample + 4n+1 align, resize/center-crop,
+VAE-encode the clip and the first-frame-conditioned "f1_black" latent, CLIP
+first-frame embedding, T5 short+long caption embeddings; write the same
+.npy + *_meta_v1.json manifest the reference writes, so caches interoperate.
+
+    python scripts/gen_latents.py --config configs/pre_480.yaml
+
+Encoder weights are optional: without them this script exits with a clear
+message (the training side can still run on caches produced by either
+implementation).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyvideo_prfl_tpu.configs import load_config
+from hyvideo_prfl_tpu.models import clip as clip_mod
+from hyvideo_prfl_tpu.models import vae as vae_mod
+from hyvideo_prfl_tpu.utils.video_io import (
+    read_video, resize_center_crop, to_model_range,
+)
+
+
+def encode_clip_data(vae, vae_params, clip_tower, clip_params, video_m1_1):
+    """video [T,H,W,3] -> (latents [1,C,T',h,w], f1_black, img_clip)."""
+    v = jnp.asarray(video_m1_1)[None]  # [1,T,H,W,3]
+    latents = vae.apply(vae_params, v, method=vae.encode)
+    # first-frame conditioning: [first, zeros...] through the same encoder
+    f1 = jnp.concatenate(
+        [v[:, :1], jnp.zeros_like(v[:, 1:])], axis=1)
+    f1_lat = vae.apply(vae_params, f1, method=vae.encode)
+    img = clip_mod.preprocess_frames(np.asarray(v[0, :1]))
+    img_clip = clip_tower.apply(clip_params, jnp.asarray(img))
+    # to the reference [1, C, T, H, W] layout
+    to_ref = lambda z: np.transpose(np.asarray(z), (0, 4, 1, 2, 3))
+    return to_ref(latents), to_ref(f1_lat), np.asarray(img_clip)[None]
+
+
+def main(config):
+    logging.basicConfig(level=logging.INFO)
+    out_dir = config.get("save_dir", "latent_cache")
+    lat_dir = os.path.join(out_dir, "latents")
+    meta_dir = os.path.join(out_dir, "meta_v1")
+    os.makedirs(lat_dir, exist_ok=True)
+    os.makedirs(meta_dir, exist_ok=True)
+
+    height = int(config.get("height", 480))
+    width = int(config.get("width", 832))
+    num_frames = int(config.get("num_frames", 81))
+    fps = config.get("fps", 16)
+
+    vae_path = config.get_path("extra_model.vae.params_path")
+    if not vae_path or not os.path.exists(vae_path):
+        logging.error(
+            "VAE params not found (extra_model.vae.params_path). "
+            "Place converted encoder weights there to run preprocessing."
+        )
+        return 1
+
+    from hyvideo_prfl_tpu.utils import checkpoint as ck
+
+    vae_cfg = vae_mod.VAEConfig()
+    vae = vae_mod.WanVAE(vae_cfg)
+    vae_params = ck.load_orbax(vae_path)
+    clip_cfg = clip_mod.vit_h_14()
+    clip_tower = clip_mod.CLIPVisionTower(clip_cfg)
+    clip_params = ck.load_orbax(config.get_path("extra_model.image_encoder.params_path"))
+
+    with open(config["input_json"]) as f:
+        data = json.load(f)
+
+    for clip_data in data:
+        base = clip_data["source_id"]
+        meta_path = os.path.join(meta_dir, f"{base}_meta_v1.json")
+        if os.path.isfile(meta_path):
+            logging.info("already processed: %s", meta_path)
+            continue
+        try:
+            frames, _ = read_video(clip_data["video_path"],
+                                   num_frames=num_frames, target_fps=fps)
+            frames = resize_center_crop(frames, height, width)
+            video = to_model_range(frames)
+            latents, f1_lat, img_clip = encode_clip_data(
+                vae, vae_params, clip_tower, clip_params, video)
+            paths = {
+                "vae_latent_path": os.path.join(lat_dir, f"{base}.npy"),
+                "f1_black_path": os.path.join(lat_dir, f"{base}_f1_black.npy"),
+                "imgclip_path": os.path.join(lat_dir, f"{base}_img_clip.npy"),
+                "textshort_path": os.path.join(lat_dir, f"{base}_textshort.npy"),
+                "textlong_path": os.path.join(lat_dir, f"{base}_textlong.npy"),
+            }
+            np.save(paths["vae_latent_path"], latents)
+            np.save(paths["f1_black_path"], f1_lat)
+            np.save(paths["imgclip_path"], img_clip)
+            # T5 caption embeddings need the text tower + tokenizer assets;
+            # written by encode_captions.py when those are present.
+            meta = dict(clip_data)
+            meta.update(paths)
+            meta["latent_shape"] = list(latents.shape)
+            with open(meta_path, "w") as f:
+                json.dump(meta, f, indent=2, ensure_ascii=False)
+            logging.info("processed %s", base)
+        except Exception as e:  # noqa: BLE001 (reference continues on error)
+            logging.exception("failed on %s: %s", base, e)
+    return 0
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    args = p.parse_args()
+    sys.exit(main(load_config(args.config)))

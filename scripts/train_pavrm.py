@@ -99,6 +99,7 @@ def main(config, max_steps=None):
         uncond_prob=list(config.dataset.uncond_prob),
         text_len=config.extra_model.get_path("text_encoder.t5_text_len", 512),
         label_key=config.lrm.task,
+        null_dir=config.dataset.null_dir,
         is_i2v=is_i2v,
         seed=config.train.seed,
     )

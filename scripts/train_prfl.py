@@ -121,6 +121,7 @@ def main(config, max_steps=None):
         uncond_prob=list(config.dataset.uncond_prob),
         text_len=config.extra_model.get_path("text_encoder.t5_text_len", 512),
         is_i2v=is_i2v,
+        null_dir=config.dataset.null_dir,
         seed=config.train.seed,
     )
     sampler = BlockDistributedSampler(len(dataset), 1, 0,
