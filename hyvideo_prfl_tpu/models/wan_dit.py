@@ -350,6 +350,9 @@ class WanModel(nn.Module):
         output_features: bool = False,
         selected_layers: Sequence[int] = (),
         num_layers_override: Optional[int] = None,
+        skip_blocks=None,
+        residual_in=None,
+        output_residual: bool = False,
     ):
         cfg, policy = self.cfg, self.policy
         cd = cfg.compute_dtype
@@ -429,9 +432,30 @@ class WanModel(nn.Module):
             split_rngs={"params": True},
             length=n_layers,
         )
-        (h, feats, _), _ = scan(
-            block_cls(cfg, policy, name="blocks"), (h, feats0, jnp.int32(0)), None
-        )
+        blocks = block_cls(cfg, policy, name="blocks")
+
+        def run_blocks(h):
+            (h2, feats, _), _ = scan(blocks, (h, feats0, jnp.int32(0)), None)
+            return h2, feats
+
+        if skip_blocks is None:
+            h_in = h
+            h, feats = run_blocks(h)
+        else:
+            # TeaCache path (inference only, ops/teacache.py): lax.cond picks
+            # between the full stack and the cached-residual add. Both
+            # branches are traced (so params resolve); one executes.
+            assert not output_features, "feature taps not valid under teacache"
+            h_in = h
+            h = jax.lax.cond(
+                skip_blocks,
+                lambda x: x + residual_in.astype(jnp.float32),
+                lambda x: run_blocks(x)[0],
+                h,
+            )
+            feats = None
+
+        residual_out = h - h_in
 
         if output_features:
             return feats
@@ -443,7 +467,23 @@ class WanModel(nn.Module):
             b, gf * pt, gh * ph, gw * pw, cfg.out_dim
         )
         out = constrain(out, policy, "video")
-        return out.astype(jnp.float32)
+        out = out.astype(jnp.float32)
+        if output_residual:
+            # e (fp32 time embed) is TeaCache's modulation input
+            # (model.py:624-637)
+            return out, e, residual_out
+        return out
+
+
+def time_embed_only(params, cfg: WanConfig, t):
+    """The fp32 time-embedding e [B, dim] (model.py:590-592) computed alone —
+    the cheap TeaCache gate input."""
+    t = jnp.atleast_1d(jnp.asarray(t, jnp.float32))
+    e = sinusoidal_embedding_1d(cfg.freq_dim, t)
+    p = params["params"]
+    e = e @ p["time_0"]["kernel"] + p["time_0"]["bias"]
+    e = nn.silu(e)
+    return e @ p["time_2"]["kernel"] + p["time_2"]["bias"]
 
 
 def init_params(cfg: WanConfig, rng, sample_shape=(1, 4, 8, 8, None),

@@ -118,6 +118,56 @@ class WanPipeline:
             return jax.lax.fori_loop(0, sched.num_steps, body, noise)
         raise ValueError(f"unknown solver {gen.sample_solver}")
 
+    def sample_teacache(self, rng, latent_shape, context, context_null,
+                        gen: GenerateConfig, thresh: float = 0.2,
+                        coeffs_key: str = "t2v-14b",
+                        y=None, clip_fea=None) -> jnp.ndarray:
+        """Denoising chain with TeaCache residual-reuse step skipping
+        (ops/teacache.py; reference model.py:621-654). One compiled scan;
+        lax.cond skips the block stack when the gate says so."""
+        from ..models.wan_dit import time_embed_only
+        from ..ops import teacache as tc
+        from ..schedulers import unipc as unipc_mod
+
+        cfg = self.cfg
+        b, f, hh, ww, _ = latent_shape
+        pt, ph, pw = cfg.patch_size
+        seq = (f // pt) * (hh // ph) * (ww // pw)
+        coeffs = tc.COEFFICIENTS[coeffs_key]
+        n = gen.sampling_steps
+        sched = unipc_mod.unipc_schedule(
+            n, shift=gen.shift, num_train_timesteps=gen.num_train_timesteps)
+
+        noise = jax.random.normal(rng, latent_shape, jnp.float32)
+        gate0 = tc.init_state(b, cfg.dim, seq)
+        res0 = jnp.zeros((b, seq, cfg.dim), jnp.float32)
+        solver0 = unipc_mod.init_state(latent_shape, jnp.float32)
+
+        def body(carry, xs):
+            x, solver, gate, res_c, res_u = carry
+            i, t, c = xs
+            e = time_embed_only(self.params, cfg, jnp.full((b,), t))
+            skip, gate = tc.should_skip(gate, e, i, n, thresh, coeffs)
+
+            def fwd(ctx, res):
+                out, _, res_new = self.model.apply(
+                    self.params, x, t, ctx, y=y, clip_fea=clip_fea,
+                    skip_blocks=skip, residual_in=res, output_residual=True)
+                return out, res_new
+
+            cond, res_c = fwd(context, res_c)
+            uncond, res_u = fwd(context_null, res_u)
+            v = uncond + gen.guide_scale * (cond - uncond)
+            x_next, solver = unipc_mod._apply(c, solver, v, x)
+            solver = solver.replace(step_index=solver.step_index)
+            return (x_next, solver, gate, res_c, res_u), None
+
+        xs = (jnp.arange(n, dtype=jnp.int32), sched.timesteps,
+              jax.tree.map(lambda a: a[:n], sched.coeffs))
+        (x_final, *_), _ = jax.lax.scan(
+            body, (noise, solver0, gate0, res0, res0), xs)
+        return x_final
+
     def decode(self, latents):
         assert self.vae is not None, "pipeline built without a VAE"
         return self.vae.apply(self.vae_params, latents,
