@@ -120,8 +120,11 @@ def make_refl_step(model: PrflModel, tx,
         loss = rw.prfl_hinge_loss(
             reward, cfg.target_reward, cfg.hinge_scale
         )
+        # one-shot x0 estimate for sanity dumps (train_prfl.py:854-856)
+        sigma_mid1 = sched.sigmas[jnp.minimum(mid + 1, cfg.inference_steps)]
+        pred_x0 = latent_next - sigma_mid1 * v
         return loss, {"reward": reward.mean(), "mid": mid,
-                      "pred_v": v, "latent_next": latent_next}
+                      "latent_next": latent_next, "pred_x0": pred_x0}
 
     def refl_step(state: common.TrainState, batch, rng):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -137,6 +140,10 @@ def make_refl_step(model: PrflModel, tx,
             "grad_norm": gnorm,
             "reward": aux["reward"],
             "mid": aux["mid"],
+            # device arrays; only transferred if the host fetches them
+            # (sanity-check mp4 dumps, train_prfl.py:849-887)
+            "latent_next": aux["latent_next"],
+            "pred_x0": aux["pred_x0"],
         }
 
     return refl_step

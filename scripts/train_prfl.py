@@ -133,6 +133,34 @@ def main(config, max_steps=None):
     sft_fn = make_sft_step(model, tx, fm.train_schedule(
         config.extra_model.scheduler.num_train_timesteps))
 
+    sanity_dir = config.save.sanity_check_dir or os.path.join(
+        out_dir, "sanity_check")
+    vae = vae_params = None
+    vae_path = config.extra_model.get_path("vae.params_path")
+    if vae_path and os.path.exists(vae_path):
+        from hyvideo_prfl_tpu.models import vae as vae_mod
+        vae = vae_mod.WanVAE(vae_mod.VAEConfig())
+        vae_params = ck.load_orbax(vae_path)
+
+    def sanity_dump(step, m_refl):
+        """rank0 pred_x0 / latent mp4 dumps for early steps
+        (train_prfl.py:849-887)."""
+        if config.train.sanity_check_interval < 0 or step > 50:
+            return
+        os.makedirs(sanity_dir, exist_ok=True)
+        for name in ("pred_x0", "latent_next"):
+            lat = np.asarray(m_refl[name])
+            if vae is not None:
+                from hyvideo_prfl_tpu.utils.video_io import save_videos_grid
+                video = np.asarray(vae.apply(vae_params, jnp.asarray(lat),
+                                             method=vae.decode))
+                save_videos_grid(
+                    video, os.path.join(sanity_dir,
+                                        f"step{step}_{name}.mp4"))
+            else:
+                np.save(os.path.join(sanity_dir, f"step{step}_{name}.npy"),
+                        lat)
+
     with jax.set_mesh(mesh):
         refl_fn = jax.jit(refl_fn)
         sft_fn = jax.jit(sft_fn)
@@ -146,7 +174,9 @@ def main(config, max_steps=None):
 
             timer_refl.tic()
             state, m_refl = refl_fn(state, batch, k1)
-            m_refl = {k3: float(v) for k3, v in m_refl.items()}
+            sanity_dump(step, m_refl)
+            m_refl = {k3: float(v) for k3, v in m_refl.items()
+                      if k3 not in ("latent_next", "pred_x0")}
             t_refl = timer_refl.toc()
 
             timer_sft.tic()

@@ -146,3 +146,48 @@ def test_inference_pavrm_cli(tmp_path, monkeypatch):
     for r in results.values():
         assert 0.0 <= r["accuracy"] <= 1.0
         assert 0.0 <= r["mean_reward"] <= 1.0
+
+
+def test_xlm_roberta():
+    from hyvideo_prfl_tpu.models.xlm_roberta import (
+        XLMRoberta, mean_pool, tiny_xlmr,
+    )
+    cfg = tiny_xlmr()
+    m = XLMRoberta(cfg)
+    ids = jnp.asarray([[5, 8, 9, 1, 1], [3, 1, 1, 1, 1]], jnp.int32)  # pad=1
+    params = m.init(jax.random.PRNGKey(0), ids)
+    out = m.apply(params, ids)
+    assert out.shape == (2, 5, cfg.dim)
+    pooled = mean_pool(out, ids)
+    assert pooled.shape == (2, cfg.dim)
+    assert np.isfinite(np.asarray(pooled)).all()
+    # padded tokens must not affect the pooled output of valid ones
+    ids2 = ids.at[0, 4].set(1)  # already pad; change a pad position id
+    out2 = m.apply(params, ids2)
+    np.testing.assert_allclose(np.asarray(out[0, :3]), np.asarray(out2[0, :3]),
+                               atol=1e-5)
+
+
+def test_prompt_expander_local():
+    from hyvideo_prfl_tpu.utils.prompt_extend import (
+        DashScopePromptExpander, LocalPromptExpander,
+    )
+    exp = LocalPromptExpander(lambda sys, usr: f"detailed: {usr}")
+    out = exp("a cat runs")
+    assert out.status and out.prompt == "detailed: a cat runs"
+    # failing generate_fn falls back to the original prompt
+    exp2 = LocalPromptExpander(lambda s, u: 1 / 0)
+    out2 = exp2("a cat runs")
+    assert not out2.status and out2.prompt == "a cat runs"
+    # dashscope unavailable in this deployment -> graceful failure
+    out3 = DashScopePromptExpander()("a cat runs")
+    assert not out3.status and out3.prompt == "a cat runs"
+
+
+def test_tokenizer_text_cleaning():
+    from hyvideo_prfl_tpu.utils.tokenizers import (
+        basic_clean, canonicalize, whitespace_clean,
+    )
+    assert whitespace_clean("a   b\n\tc") == "a b c"
+    assert basic_clean("&amp;amp; x ") == "& x"
+    assert canonicalize("Hello, World_Foo!") == "hello world foo"
