@@ -170,12 +170,21 @@ class SelfAttention(nn.Module):
         v = v.reshape(b, l, n, d)
         q = apply_rope(q, cos, sin).astype(cd)
         k = apply_rope(k, cos, sin).astype(cd)
-        # Ulysses: shard heads / gather sequence for the attention op
-        q = constrain(q, policy, "attn_heads")
-        k = constrain(k, policy, "attn_heads")
-        v = constrain(v, policy, "attn_heads")
-        out = dot_product_attention(q, k, v)
-        out = constrain(out, policy, "attn_heads")
+        if policy is not None and policy.shard_map_ulysses:
+            # explicit all_to_all Ulysses; pallas flash runs per device
+            from ..ops.attention import ulysses_attention
+
+            q = constrain(q, policy, "attn_heads_sp_tokens")
+            k = constrain(k, policy, "attn_heads_sp_tokens")
+            v = constrain(v, policy, "attn_heads_sp_tokens")
+            out = ulysses_attention(q, k, v)
+        else:
+            # GSPMD Ulysses: shard heads / gather sequence around the op
+            q = constrain(q, policy, "attn_heads")
+            k = constrain(k, policy, "attn_heads")
+            v = constrain(v, policy, "attn_heads")
+            out = dot_product_attention(q, k, v)
+            out = constrain(out, policy, "attn_heads")
         out = out.reshape(b, l, cfg.dim)
         out = constrain(out, policy, "tokens")
         return _dense("o", cfg.dim, cd)(out)

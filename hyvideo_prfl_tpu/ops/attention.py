@@ -20,17 +20,33 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-_DEFAULT_BACKEND = "xla"
+_DEFAULT_BACKEND = "auto"
 
 
 def set_default_backend(name: str) -> None:
     global _DEFAULT_BACKEND
-    assert name in ("xla", "flash")
+    assert name in ("auto", "xla", "flash")
     _DEFAULT_BACKEND = name
 
 
 def get_default_backend() -> str:
     return _DEFAULT_BACKEND
+
+
+def _resolve_auto(q, k, in_shard_map: bool = False) -> str:
+    """auto: Pallas flash on TPU for long self-attention-sized sequences
+    (where XLA would materialize the [Lq, Lk] logits in HBM); XLA einsum
+    otherwise (short cross-attention, CPU tests)."""
+    import jax
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    d_ok = q.shape[-1] % 128 == 0
+    long_seq = k.shape[1] >= 1024
+    # GSPMD cannot partition an opaque pallas call, so auto-flash engages
+    # only single-device — or inside shard_map, where the kernel is already
+    # per-device (ulysses_attention)
+    single = jax.device_count() == 1 or in_shard_map
+    return "flash" if (on_tpu and d_ok and long_seq and single) else "xla"
 
 
 def dot_product_attention(
@@ -47,11 +63,59 @@ def dot_product_attention(
     Returns [B, Lq, N, D] in q.dtype.
     """
     backend = backend or _DEFAULT_BACKEND
+    if backend == "auto":
+        backend = _resolve_auto(q, k)
     if backend == "flash":
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, k_valid_len=k_valid_len)
     return _xla_attention(q, k, v, k_valid_len)
+
+
+def ulysses_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    sp_axis: str = "sp",
+    data_axis: str = "data",
+    backend: Optional[str] = None,
+):
+    """Explicit Ulysses sequence-parallel attention via shard_map.
+
+    The compiled form of the reference's all_to_all_4D sandwich
+    (communication.py:40-160 + model.py:183-196): tokens arrive sharded on
+    `sp_axis` ([B, L/sp, N, D] per device); an all_to_all scatters heads and
+    gathers sequence ([B, L, N/sp, D]), the per-device attention kernel
+    (Pallas flash on TPU) runs on full-length sequences with a head subset,
+    and the inverse all_to_all restores token sharding. JAX collectives
+    differentiate natively, so this is trainable as-is.
+
+    Call under jax.set_mesh with a ("data", "sp") mesh; q/k/v must be
+    sharded P(data, sp, None, None).
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    mesh = jax.sharding.get_abstract_mesh()
+    spec = P(data_axis, sp_axis, None, None)
+
+    def inner(q, k, v):
+        def a2a_heads(x):  # [B, L/sp, N, D] -> [B, L, N/sp, D]
+            return jax.lax.all_to_all(
+                x, sp_axis, split_axis=2, concat_axis=1, tiled=True)
+
+        qh, kh, vh = a2a_heads(q), a2a_heads(k), a2a_heads(v)
+        be = backend or _DEFAULT_BACKEND
+        if be == "auto":
+            be = _resolve_auto(qh, kh, in_shard_map=True)
+        o = dot_product_attention(qh, kh, vh, backend=be)
+        # inverse: scatter seq, gather heads
+        return jax.lax.all_to_all(
+            o, sp_axis, split_axis=1, concat_axis=2, tiled=True)
+
+    return jax.shard_map(
+        inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+    )(q, k, v)
 
 
 def _xla_attention(q, k, v, k_valid_len):

@@ -52,12 +52,18 @@ class ShardingPolicy:
     # [B, L, N, Dh] attention operands during the attention op itself:
     # heads on sp, sequence gathered (Ulysses head-swap)
     attn_heads: P = P(DATA_AXIS, None, SP_AXIS, None)
+    # [B, L, N, Dh] qkv with tokens sharded on sp (shard_map Ulysses input)
+    attn_heads_sp_tokens: P = P(DATA_AXIS, SP_AXIS, None, None)
     # [B, Lctx, D] text context: replicated over sp (short seq)
     context: P = P(DATA_AXIS, None, None)
     # [B, F, H, W, C] video tensors: frames on sp
     video: P = P(DATA_AXIS, SP_AXIS, None, None, None)
     # [B, ...] per-sample scalars/vectors
     batch: P = P(DATA_AXIS)
+    # use the explicit shard_map Ulysses path in self-attention (required to
+    # run the Pallas flash kernel per-device on a multi-chip mesh; GSPMD
+    # cannot partition an opaque pallas_call). False = GSPMD constraints.
+    shard_map_ulysses: bool = False
 
 
 def constrain(x, policy: Optional[ShardingPolicy], spec_name: str):

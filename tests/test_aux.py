@@ -191,3 +191,54 @@ def test_tokenizer_text_cleaning():
     assert whitespace_clean("a   b\n\tc") == "a b c"
     assert basic_clean("&amp;amp; x ") == "& x"
     assert canonicalize("Hello, World_Foo!") == "hello world foo"
+
+
+def test_shard_map_ulysses_matches_single_device(devices8):
+    """Explicit all_to_all Ulysses == single-device attention."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from hyvideo_prfl_tpu.ops.attention import (
+        _xla_attention, ulysses_attention,
+    )
+    from hyvideo_prfl_tpu.parallel import sharding as shd
+
+    mesh = shd.make_mesh(data=2, sp=4)
+    b, l, n, d = 2, 32, 8, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, l, n, d))
+    k = jax.random.normal(ks[1], (b, l, n, d))
+    v = jax.random.normal(ks[2], (b, l, n, d))
+    ref = _xla_attention(q, k, v, None)
+    with jax.set_mesh(mesh):
+        spec = NamedSharding(mesh, P("data", "sp", None, None))
+        qs, ks_, vs = (jax.device_put(x, spec) for x in (q, k, v))
+        out = jax.jit(ulysses_attention)(qs, ks_, vs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_model_shard_map_ulysses_matches_gspmd(devices8):
+    """Full DiT forward: shard_map Ulysses == GSPMD constraints == 1-device."""
+    import dataclasses
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from hyvideo_prfl_tpu.parallel import sharding as shd
+
+    mesh = shd.make_mesh(data=2, sp=4)
+    cfg = wan_dit.tiny_test(remat=False, num_heads=4)
+    params = wan_dit.init_params(cfg, jax.random.PRNGKey(0))
+    b, f, h, w = 2, 8, 8, 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, f, h, w, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (b, cfg.text_len, cfg.text_dim)) * 0.1
+    t = jnp.asarray([500.0, 100.0])
+    ref = wan_dit.WanModel(cfg).apply(
+        params, x, t, ctx, output_features=True, selected_layers=(2,))
+    pol = shd.ShardingPolicy(shard_map_ulysses=True)
+    with jax.set_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, P("data", "sp")))
+        cs = jax.device_put(ctx, NamedSharding(mesh, P("data")))
+        m = wan_dit.WanModel(cfg, pol)
+        out = jax.jit(lambda p, x, t, c: m.apply(
+            p, x, t, c, output_features=True, selected_layers=(2,)
+        ))(params, xs, t, cs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
