@@ -87,11 +87,10 @@ def main():
         "latents": jnp.zeros((1, f, h, w, 16), jnp.float32),
         "text": jnp.zeros((1, dit_cfg.text_len, dit_cfg.text_dim), jnp.float32),
     }
-    refl = jax.jit(make_refl_step(
-        model, tx, lrm_dit,
-        {"params": lrm_trainable["q_attn"]},
-        {"params": lrm_trainable["mlp"]},
-    ), donate_argnums=(0,))
+    lrm_tower = {"dit": lrm_dit, "q": {"params": lrm_trainable["q_attn"]},
+                 "m": {"params": lrm_trainable["mlp"]}}
+    refl0 = jax.jit(make_refl_step(model, tx), donate_argnums=(0,))
+    refl = lambda s, b, k: refl0(s, b, k, lrm_tower)
     sft = jax.jit(make_sft_step(model, tx, fm.train_schedule(1000)),
                   donate_argnums=(0,))
 

@@ -32,12 +32,14 @@ channels, per-channel latent mean/std constants (vae.py:630-640).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ..parallel.sharding import SP_AXIS
 
 # latent normalization constants (vae.py:630-637)
 LATENT_MEAN = np.asarray([
@@ -59,10 +61,25 @@ class VAEConfig:
     attn_scales: Tuple[float, ...] = ()
     temporal_downsample: Tuple[bool, ...] = (False, True, True)
     compute_dtype: Any = jnp.float32
+    # spatial context parallelism: shard activations on W over the sp mesh
+    # axis; XLA inserts conv halo exchanges automatically — the GSPMD
+    # equivalent of the reference's hand-written halo plugins
+    # (wan/modules/context_parallel/plugins.py:84-291, SURVEY.md 2.8 P6).
+    spatial_shard: bool = False
 
     @property
     def temporal_upsample(self):
         return tuple(reversed(self.temporal_downsample))
+
+
+def _shard_w(x, cfg):
+    """Constrain [B, T, H, W, C] activations to W-sharding when enabled."""
+    if not cfg.spatial_shard:
+        return x
+    from jax.sharding import PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(
+        x, P(None, None, None, SP_AXIS, None))
 
 
 def tiny_vae(**kw):
@@ -201,13 +218,13 @@ class Encoder3d(nn.Module):
         for i in range(len(cfg.dim_mult)):
             out_dim = dims[i + 1]
             for _ in range(cfg.num_res_blocks):
-                x = ResBlock(out_dim, dt, name=f"block_{bi}")(x)
+                x = _shard_w(ResBlock(out_dim, dt, name=f"block_{bi}")(x), cfg)
                 bi += 1
                 if scale in cfg.attn_scales:
                     x = SpatialAttention(dt, name=f"attn_{bi}")(x)
             if i != len(cfg.dim_mult) - 1:
-                x = Downsample(cfg.temporal_downsample[i], dt,
-                               name=f"down_{i}")(x)
+                x = _shard_w(Downsample(cfg.temporal_downsample[i], dt,
+                                        name=f"down_{i}")(x), cfg)
                 scale /= 2.0
         x = ResBlock(dims[-1], dt, name="mid_block_0")(x)
         x = SpatialAttention(dt, name="mid_attn")(x)
@@ -236,12 +253,13 @@ class Decoder3d(nn.Module):
         for i in range(len(mult)):
             out_dim = dims[i + 1]
             for _ in range(cfg.num_res_blocks + 1):
-                x = ResBlock(out_dim, dt, name=f"block_{bi}")(x)
+                x = _shard_w(ResBlock(out_dim, dt, name=f"block_{bi}")(x), cfg)
                 bi += 1
                 if scale in cfg.attn_scales:
                     x = SpatialAttention(dt, name=f"attn_{bi}")(x)
             if i != len(mult) - 1:
-                x = Upsample(cfg.temporal_upsample[i], dt, name=f"up_{i}")(x)
+                x = _shard_w(Upsample(cfg.temporal_upsample[i], dt,
+                                      name=f"up_{i}")(x), cfg)
                 scale *= 2.0
         g = self.param("head_norm_gamma", nn.initializers.ones, (x.shape[-1],))
         x = _rms_norm_vae(x, g)

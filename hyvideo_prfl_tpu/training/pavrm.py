@@ -122,22 +122,22 @@ def select_timestep(rng, pc: PavrmConfig, schedule: fm.FlowMatchSchedule,
     )
 
 
-def make_train_step(model: PavrmModel, tx, schedule: fm.FlowMatchSchedule,
-                    frozen_dit: Any):
+def make_train_step(model: PavrmModel, tx, schedule: fm.FlowMatchSchedule):
     """Build the jitted PAVRM train step.
 
     State params layout: {"blocks": <trainable dit blocks>,
-    "q_attn": ..., "mlp": ...}; `frozen_dit` holds the remaining
-    (embedding/etc.) DiT params, closed over as a constant input.
+    "q_attn": ..., "mlp": ...}; `frozen_dit` (embedding/etc. DiT params) is
+    a step ARGUMENT — closing over it would bake hundreds of MB of weights
+    into the HLO as literals (breaks remote compile; bloats every compile).
     """
     pc = model.pc
 
-    def assemble_dit(trainable):
-        return common.merge_tree(
-            {"params": {"blocks": trainable["blocks"]}}, frozen_dit
-        )
+    def loss_fn(trainable, frozen_dit, batch, rng, step):
+        def assemble_dit(trainable):
+            return common.merge_tree(
+                {"params": {"blocks": trainable["blocks"]}}, frozen_dit
+            )
 
-    def loss_fn(trainable, batch, rng, step):
         b = batch["latents"].shape[0]
         k_t, k_n = jax.random.split(rng)
         t, sigma = select_timestep(k_t, pc, schedule, step, b)
@@ -167,9 +167,9 @@ def make_train_step(model: PavrmModel, tx, schedule: fm.FlowMatchSchedule,
             acc = jnp.mean((probs > 0.5).astype(jnp.float32))
         return loss, {"probs": probs, "acc": acc}
 
-    def train_step(state: common.TrainState, batch, rng):
+    def train_step(state: common.TrainState, batch, rng, frozen_dit):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng, state.step
+            state.params, frozen_dit, batch, rng, state.step
         )
         # NaN/Inf guard: zero out bad grads, keep loss logged
         # (train_pavrm.py:874-897's zero-loss fallback, compiled form)
@@ -190,12 +190,12 @@ def make_train_step(model: PavrmModel, tx, schedule: fm.FlowMatchSchedule,
     return train_step
 
 
-def make_eval_step(model: PavrmModel, frozen_dit: Any):
+def make_eval_step(model: PavrmModel):
     """Fixed-seed eval forward: returns probs for metric computation
     (evaluate_model, train_pavrm.py:1003-1280)."""
     pc = model.pc
 
-    def eval_step(trainable, batch, t_value, seed):
+    def eval_step(trainable, frozen_dit, batch, t_value, seed):
         b = batch["latents"].shape[0]
         dit_params = common.merge_tree(
             {"params": {"blocks": trainable["blocks"]}}, frozen_dit

@@ -63,21 +63,21 @@ class PrflModel:
         self.lrm = PavrmModel(dit_cfg, pavrm_cfg, policy)
 
 
-def make_refl_step(model: PrflModel, tx,
-                   lrm_dit_params: Any, lrm_q_params: Any, lrm_m_params: Any):
+def make_refl_step(model: PrflModel, tx):
     """Build the jitted PRFL reward step.
 
-    state.params = full policy DiT params. The LRM tower is entirely frozen
-    (closed over). Batch supplies text/cond/clip conditioning and the latent
-    SHAPE (contents unused — rollout starts from pure noise,
-    train_prfl.py:637)."""
+    state.params = full policy DiT params. The frozen LRM tower
+    ({"dit":..., "q":..., "m":...}) is a step ARGUMENT — closing over it
+    would bake its weights into the HLO as literals. Batch supplies
+    text/cond/clip conditioning and the latent SHAPE (contents unused —
+    rollout starts from pure noise, train_prfl.py:637)."""
     cfg = model.cfg
     sched = unipc.unipc_schedule(
         cfg.inference_steps, shift=cfg.flow_shift,
         num_train_timesteps=cfg.num_train_timesteps,
     )
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, lrm, batch, rng):
         k_noise, k_mid = jax.random.split(rng)
         shape = batch["latents"].shape
         latent0 = jax.random.normal(k_noise, shape, jnp.float32)
@@ -113,7 +113,7 @@ def make_refl_step(model: PrflModel, tx,
         # ---- 4. frozen LRM reward at t_mid+1 ----
         t_mid1 = sched.timesteps[jnp.minimum(mid + 1, cfg.inference_steps - 1)]
         logits = model.lrm.score(
-            lrm_dit_params, lrm_q_params, lrm_m_params,
+            lrm["dit"], lrm["q"], lrm["m"],
             latent_next, t_mid1, batch["text"], y=y, clip_fea=clip_fea,
         )
         reward = rw.reward_sigmoid(logits)[:, 0]
@@ -126,9 +126,9 @@ def make_refl_step(model: PrflModel, tx,
         return loss, {"reward": reward.mean(), "mid": mid,
                       "latent_next": latent_next, "pred_x0": pred_x0}
 
-    def refl_step(state: common.TrainState, batch, rng):
+    def refl_step(state: common.TrainState, batch, rng, lrm):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
+            state.params, lrm, batch, rng
         )
         finite = jnp.isfinite(loss)
         grads = jax.tree.map(

@@ -73,10 +73,10 @@ def main(config, max_samples=None):
         null_dir=config.dataset.null_dir, is_i2v=is_i2v,
         seed=config.eval.seed,
     )
-    eval_fn = make_eval_step(model, frozen)
+    eval_fn = make_eval_step(model)
 
     with jax.set_mesh(mesh):
-        eval_fn = jax.jit(eval_fn, static_argnums=(3,))
+        eval_fn = jax.jit(eval_fn, static_argnums=(4,))
         results = {}
         n = min(len(dataset), max_samples or len(dataset))
         for t_val in config.eval.timestep:
@@ -87,7 +87,7 @@ def main(config, max_samples=None):
                          if not isinstance(v, str)}
                 batch = {k: (v[0] if k == "labels" else v)
                          for k, v in batch.items()}
-                p = eval_fn(trainable, batch, jnp.float32(t_val),
+                p = eval_fn(trainable, frozen, batch, jnp.float32(t_val),
                             int(config.eval.seed))
                 probs.append(float(p[0]))
                 labels.append(float(s["labels"]))

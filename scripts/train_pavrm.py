@@ -108,7 +108,7 @@ def main(config, max_steps=None):
                                 batch_size=config.dataset.batch_size))
 
     step_fn = make_train_step(model, tx, fm.train_schedule(
-        config.extra_model.scheduler.num_train_timesteps), frozen)
+        config.extra_model.scheduler.num_train_timesteps))
     with jax.set_mesh(mesh):
         step_fn = jax.jit(step_fn)
         timer = StepTimer()
@@ -119,7 +119,7 @@ def main(config, max_steps=None):
                      if not isinstance(v, list)}
             rng, k = jax.random.split(rng)
             timer.tic()
-            state, metrics = step_fn(state, batch, k)
+            state, metrics = step_fn(state, batch, k, frozen)
             metrics = {k2: float(v) for k2, v in metrics.items()}
             dt = timer.toc()
             logger.log(step, {**metrics, "step_time": dt})

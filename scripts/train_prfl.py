@@ -129,7 +129,8 @@ def main(config, max_steps=None):
     loader = iter(BatchIterator(dataset, sampler,
                                 batch_size=config.dataset.batch_size))
 
-    refl_fn = make_refl_step(model, tx, lrm_dit, lrm_q, lrm_m)
+    refl_fn = make_refl_step(model, tx)
+    lrm_tower = {"dit": lrm_dit, "q": lrm_q, "m": lrm_m}
     sft_fn = make_sft_step(model, tx, fm.train_schedule(
         config.extra_model.scheduler.num_train_timesteps))
 
@@ -173,7 +174,7 @@ def main(config, max_steps=None):
             rng, k1, k2 = jax.random.split(rng, 3)
 
             timer_refl.tic()
-            state, m_refl = refl_fn(state, batch, k1)
+            state, m_refl = refl_fn(state, batch, k1, lrm_tower)
             sanity_dump(step, m_refl)
             m_refl = {k3: float(v) for k3, v in m_refl.items()
                       if k3 not in ("latent_next", "pred_x0")}

@@ -43,7 +43,8 @@ def test_pavrm_ce_step_runs_and_learns():
     sched = fm.train_schedule(1000)
     tx = common.make_optimizer(learning_rate=1e-3)
     state = common.init_train_state(trainable, tx)
-    step = jax.jit(make_train_step(model, tx, sched, frozen))
+    step0 = jax.jit(make_train_step(model, tx, sched))
+    step = lambda s, b, k: step0(s, b, k, frozen)
 
     # learnable signal: positive clips have +1 mean latent, negative -1
     base = _batch(1, cfg=dit_cfg)
@@ -72,7 +73,8 @@ def test_pavrm_bt_step_runs():
     sched = fm.train_schedule(1000)
     tx = common.make_optimizer(learning_rate=1e-3)
     state = common.init_train_state(trainable, tx)
-    step = jax.jit(make_train_step(model, tx, sched, frozen))
+    step0 = jax.jit(make_train_step(model, tx, sched))
+    step = lambda s, b, k: step0(s, b, k, frozen)
     batch = _batch(2, cfg=dit_cfg, with_labels=False)
     batch["latents_lose"] = jax.random.normal(
         jax.random.PRNGKey(9), batch["latents"].shape
@@ -90,7 +92,8 @@ def test_pavrm_fixed_timestep_cycling():
     sched = fm.train_schedule(1000)
     tx = common.make_optimizer()
     state = common.init_train_state(trainable, tx)
-    step = jax.jit(make_train_step(model, tx, sched, frozen))
+    step0 = jax.jit(make_train_step(model, tx, sched))
+    step = lambda s, b, k: step0(s, b, k, frozen)
     batch = _batch(3, cfg=dit_cfg)
     for _ in range(3):
         state, metrics = step(state, batch, jax.random.PRNGKey(0))
@@ -109,11 +112,10 @@ def test_prfl_refl_step_updates_policy():
     )
     tx = common.make_optimizer(learning_rate=1e-4)
     state = common.init_train_state(policy_params, tx)
-    step = jax.jit(make_refl_step(
-        model, tx, lrm_dit,
-        {"params": lrm_trainable["q_attn"]},
-        {"params": lrm_trainable["mlp"]},
-    ))
+    lrm_tower = {"dit": lrm_dit, "q": {"params": lrm_trainable["q_attn"]},
+                 "m": {"params": lrm_trainable["mlp"]}}
+    step0 = jax.jit(make_refl_step(model, tx))
+    step = lambda s, b, k: step0(s, b, k, lrm_tower)
     batch = _batch(3, b=1, cfg=dit_cfg, with_labels=False)
     p0 = jax.tree.leaves(state.params)[5].copy()
     state, metrics = step(state, batch, jax.random.PRNGKey(5))

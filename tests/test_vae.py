@@ -101,3 +101,28 @@ def test_tiny_roundtrip_trains():
         params, opt, loss = step(params, opt)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_vae_spatial_shard_matches_single_device(devices8):
+    """GSPMD W-sharded VAE decode == single-device (context parallelism,
+    replacing the reference's halo-exchange plugins)."""
+    import dataclasses
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from hyvideo_prfl_tpu.parallel import sharding as shd
+
+    cfg = vae_mod.tiny_vae()
+    params = vae_mod.init_vae_params(cfg, jax.random.PRNGKey(0), t=5, h=16, w=16)
+    model = vae_mod.WanVAE(cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 8, 16, 4)) * 0.3
+    ref = model.apply(params, z, method=model.decode)
+
+    cfg_s = dataclasses.replace(cfg, spatial_shard=True)
+    model_s = vae_mod.WanVAE(cfg_s)
+    mesh = shd.make_mesh(data=1, sp=8)
+    with jax.set_mesh(mesh):
+        z_s = jax.device_put(z, NamedSharding(mesh, P(None, None, None, "sp")))
+        out = jax.jit(lambda p, z: model_s.apply(p, z, method=model_s.decode)
+                      )(params, z_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
