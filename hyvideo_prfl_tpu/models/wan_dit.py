@@ -65,6 +65,9 @@ class WanConfig:
     eps: float = 1e-6
     compute_dtype: Any = jnp.bfloat16
     remat: bool = True  # activation checkpointing per block
+    # remat policy: "full" recomputes everything (min memory);
+    # "dots" saves matmul outputs (recompute only elementwise; faster bwd)
+    remat_policy: str = "full"
 
     @property
     def head_dim(self) -> int:
@@ -414,10 +417,15 @@ class WanModel(nn.Module):
 
         block_cls = WanBlock
         if cfg.remat:
+            policy_fn = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                if cfg.remat_policy == "dots" else None
+            )
             block_cls = nn.remat(
                 WanBlock,
                 static_argnums=(),
                 prevent_cse=False,
+                policy=policy_fn,
             )
 
         feats0 = (

@@ -242,3 +242,25 @@ def test_model_shard_map_ulysses_matches_gspmd(devices8):
         ))(params, xs, t, cs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_teacher_student_mesh(devices8):
+    """ts-axis collectives: teacher half broadcasts to student half."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from hyvideo_prfl_tpu.parallel import teacher_student as ts
+
+    mesh = ts.make_ts_mesh(data=2, sp=2)
+    assert mesh.axis_names == ("ts", "data", "sp")
+    # value differs per ts half: student half zeros, teacher half ones
+    x = jnp.concatenate([jnp.zeros((1, 4)), jnp.ones((1, 4))], axis=0)
+    with jax.set_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, P("ts", None)))
+
+        def inner(x):
+            return ts.broadcast_from_teacher(x)
+
+        out = jax.jit(jax.shard_map(
+            inner, mesh=jax.sharding.get_abstract_mesh(),
+            in_specs=P("ts", None), out_specs=P("ts", None),
+        ))(xs)
+    np.testing.assert_array_equal(np.asarray(out), 1.0)  # all got teacher's
