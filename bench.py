@@ -39,14 +39,14 @@ def _flops_scale():
         dense = 2.0 * p * l  # matmul FLOPs per fwd
         attn = 4.0 * l * l * d * n_layers
         fwd = dense + attn
-        # rollout fwds (avg rollout/2 actually random mid; use worst-case) +
+        # rollout fwds (worst-case mid on both sides) +
         # 1 fwd+bwd (3x fwd) + lrm fwd (0.2 of model) + sft fwd+bwd (3x)
         return fwd * (rollout + 3 + 0.2 + 3)
 
-    ref = step_flops(14e9, 75600, 5120, 40, rollout=40)
+    ref = step_flops(14e9, 75600, 5120, 40, rollout=39)
     ours = step_flops(
         _bench_params(), GRID[0] * (GRID[1] // 2) * (GRID[2] // 2),
-        BENCH_DIM, BENCH_LAYERS, rollout=ROLLOUT_STEPS,
+        BENCH_DIM, BENCH_LAYERS, rollout=ROLLOUT_STEPS - 2,
     )
     return ref / ours
 
@@ -71,7 +71,9 @@ def main():
         num_heads=BENCH_HEADS, num_layers=BENCH_LAYERS, remat=True,
     )
     pc = PavrmConfig(loss="ce", feature_layer=(8,))
-    prfl_cfg = PrflConfig(inference_steps=ROLLOUT_STEPS, flow_shift=5.0)
+    # worst-case mid, pinned for reproducible timing
+    prfl_cfg = PrflConfig(inference_steps=ROLLOUT_STEPS, flow_shift=5.0,
+                          fixed_mid=ROLLOUT_STEPS - 2)
     model = PrflModel(dit_cfg, pc, prfl_cfg)
 
     params = wan_dit.init_params(dit_cfg, jax.random.PRNGKey(0))
@@ -99,19 +101,20 @@ def main():
     def one_step(state, k):
         state, m = refl(state, batch, k)
         state, m2 = sft(state, batch, k)
+        # force completion: the proxied backend's block_until_ready returns
+        # early, so fetch scalars (see CLAUDE.md timing note)
+        _ = float(m["loss"]) + float(m2["loss"])
         return state, m, m2
 
     # warmup/compile
     rng, k = jax.random.split(rng)
     state, m, m2 = one_step(state, k)
-    jax.block_until_ready(state.params)
 
     times = []
     for _ in range(3):
         rng, k = jax.random.split(rng)
         t0 = time.perf_counter()
         state, m, m2 = one_step(state, k)
-        jax.block_until_ready(state.params)
         times.append(time.perf_counter() - t0)
     sec = min(times)
 

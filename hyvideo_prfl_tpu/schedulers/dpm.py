@@ -122,14 +122,21 @@ def rollout(schedule: DPMSchedule, velocity_fn, x_init: jnp.ndarray,
     def body(carry, xs):
         x, st = carry
         i, t, sig, a, b, c = xs
-        v = velocity_fn(x, t).astype(jnp.float32)
-        m_t = x - sig * v
-        x_next = a * x + b * m_t + c * (m_t - st.m_prev)
-        st_next = DPMState(m_prev=m_t, step_index=st.step_index + 1)
-        if stop_index is not None:
-            x_next = jnp.where(i < stop_index, x_next, x)
-            st_next = jax.tree.map(
-                lambda p, q: jnp.where(i < stop_index, p, q), st_next, st)
+
+        def active(operand):
+            x, st = operand
+            v = velocity_fn(x, t).astype(jnp.float32)
+            m_t = x - sig * v
+            x_next = a * x + b * m_t + c * (m_t - st.m_prev)
+            return (x_next, DPMState(m_prev=m_t,
+                                     step_index=st.step_index + 1))
+
+        if stop_index is None:
+            x_next, st_next = active((x, st))
+        else:
+            # skip the model call entirely past stop_index (one cond branch)
+            x_next, st_next = jax.lax.cond(
+                i < stop_index, active, lambda op: op, (x, st))
         return (x_next, st_next), None
 
     xs = (jnp.arange(n, dtype=jnp.int32), schedule.timesteps,

@@ -242,14 +242,24 @@ def rollout(
     def body(carry, xs):
         x, st = carry
         i, t, c = xs
-        v = velocity_fn(x, t)
-        x_next, st_next = _apply(c, st, v, x)
-        st_next = st_next.replace(step_index=st.step_index + 1)
-        if stop_index is not None:
-            x_next = jnp.where(i < stop_index, x_next, x)
-            st_next = jax.tree.map(
-                lambda a, b: jnp.where(i < stop_index, a, b), st_next, st
-            )
+        if stop_index is None:
+            v = velocity_fn(x, t)
+            x_next, st_next = _apply(c, st, v, x)
+            st_next = st_next.replace(step_index=st.step_index + 1)
+            return (x_next, st_next), None
+        # truncated rollout: steps past stop_index SKIP the model call
+        # entirely (lax.cond executes one branch), matching the reference's
+        # early-stopping python loop cost, not just its semantics
+        def active(operand):
+            x, st = operand
+            v = velocity_fn(x, t)
+            x_next, st_next = _apply(c, st, v, x)
+            st_next = st_next.replace(step_index=st.step_index + 1)
+            return (x_next, st_next)
+
+        x_next, st_next = jax.lax.cond(
+            i < stop_index, active, lambda op: op, (x, st)
+        )
         return (x_next, st_next), None
 
     xs = (jnp.arange(n, dtype=jnp.int32), schedule.timesteps[:n], coeffs)

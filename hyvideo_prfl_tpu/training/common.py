@@ -24,6 +24,23 @@ class TrainState:
     step: jnp.ndarray  # int32
 
 
+def _lr_schedule(learning_rate, lr_scheduler, lr_warmup_steps,
+                 max_train_steps):
+    if lr_scheduler == "constant":
+        sched = optax.constant_schedule(learning_rate)
+        if lr_warmup_steps:
+            sched = optax.join_schedules(
+                [optax.linear_schedule(0.0, learning_rate, lr_warmup_steps), sched],
+                [lr_warmup_steps],
+            )
+        return sched
+    if lr_scheduler == "linear":
+        return optax.linear_schedule(learning_rate, 0.0, max_train_steps)
+    if lr_scheduler == "cosine":
+        return optax.cosine_decay_schedule(learning_rate, max_train_steps)
+    raise ValueError(f"unknown lr_scheduler {lr_scheduler}")
+
+
 def make_optimizer(
     learning_rate: float = 5e-6,
     adam_beta1: float = 0.9,
@@ -35,31 +52,35 @@ def make_optimizer(
     max_train_steps: int = 1_000_000,
     max_grad_norm: float = 1.0,
     gradient_accumulation_steps: int = 1,
+    learning_rate_mlp: Optional[float] = None,
+    head_keys: Tuple[str, ...] = ("q_attn", "mlp"),
 ) -> optax.GradientTransformation:
     """AdamW + global-norm clip + LR schedule (+ optional grad accumulation),
     matching optimizer_init (train_prfl.py:479-505) and clip_grad_norm_
-    (train_prfl.py:825)."""
-    if lr_scheduler == "constant":
-        sched = optax.constant_schedule(learning_rate)
-        if lr_warmup_steps:
-            sched = optax.join_schedules(
-                [optax.linear_schedule(0.0, learning_rate, lr_warmup_steps), sched],
-                [lr_warmup_steps],
-            )
-    elif lr_scheduler == "linear":
-        sched = optax.linear_schedule(learning_rate, 0.0, max_train_steps)
-    elif lr_scheduler == "cosine":
-        sched = optax.cosine_decay_schedule(learning_rate, max_train_steps)
-    else:
-        raise ValueError(f"unknown lr_scheduler {lr_scheduler}")
+    (train_prfl.py:825). `learning_rate_mlp` gives the reward heads their
+    own LR (the reference's separate param group, config
+    optimizer.learning_rate_mlp)."""
 
-    tx = optax.chain(
-        optax.clip_by_global_norm(max_grad_norm),
-        optax.adamw(
-            sched, b1=adam_beta1, b2=adam_beta2, eps=adam_epsilon,
+    def adamw(lr):
+        return optax.adamw(
+            _lr_schedule(lr, lr_scheduler, lr_warmup_steps, max_train_steps),
+            b1=adam_beta1, b2=adam_beta2, eps=adam_epsilon,
             weight_decay=weight_decay,
-        ),
-    )
+        )
+
+    if learning_rate_mlp is not None:
+        def label_fn(params):
+            return {k: ("head" if k in head_keys else "body")
+                    for k in params}
+
+        inner = optax.multi_transform(
+            {"body": adamw(learning_rate), "head": adamw(learning_rate_mlp)},
+            label_fn,
+        )
+    else:
+        inner = adamw(learning_rate)
+
+    tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), inner)
     if gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=gradient_accumulation_steps)
     return tx

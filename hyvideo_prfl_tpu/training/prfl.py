@@ -50,6 +50,8 @@ class PrflConfig:
     logit_mean: float = 0.0
     logit_std: float = 1.0
     is_i2v: bool = False
+    # pin the mid timestep (benchmarking/debugging); None = random per step
+    fixed_mid: Optional[int] = None
 
 
 class PrflModel:
@@ -83,7 +85,10 @@ def make_refl_step(model: PrflModel, tx):
         latent0 = jax.random.normal(k_noise, shape, jnp.float32)
         # rank0-drawn + broadcast mid timestep (train_prfl.py:639-652):
         # with a replicated rng every shard draws the same value.
-        mid = jax.random.randint(k_mid, (), 0, cfg.inference_steps - 1)
+        if cfg.fixed_mid is not None:
+            mid = jnp.asarray(cfg.fixed_mid, jnp.int32)
+        else:
+            mid = jax.random.randint(k_mid, (), 0, cfg.inference_steps - 1)
 
         y = batch.get("cond") if cfg.is_i2v else None
         clip_fea = batch.get("clip_fea") if cfg.is_i2v else None

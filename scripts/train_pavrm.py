@@ -81,6 +81,7 @@ def main(config, max_steps=None):
 
     tx = common.make_optimizer(
         learning_rate=config.optimizer.learning_rate,
+        learning_rate_mlp=config.optimizer.learning_rate_mlp,
         adam_beta1=config.optimizer.adam_beta1,
         adam_beta2=config.optimizer.adam_beta2,
         weight_decay=config.optimizer.weight_decay,
@@ -109,8 +110,34 @@ def main(config, max_steps=None):
 
     step_fn = make_train_step(model, tx, fm.train_schedule(
         config.extra_model.scheduler.num_train_timesteps))
+    eval_fn = make_eval_step(model)
+    val_lists = list(config.dataset.get("val_meta_file_list") or [])
+    val_dataset = LatentCacheDataset(
+        "lrm_ce", meta_file_list=val_lists, label_key=config.lrm.task,
+        text_len=config.extra_model.get_path("text_encoder.t5_text_len", 512),
+        null_dir=config.dataset.null_dir, is_i2v=is_i2v,
+        seed=config.eval.seed,
+    ) if val_lists else None
+
+    def run_eval(state, jitted_eval):
+        """Per-timestep val metrics at save_interval (train_pavrm.py:1342-1354)."""
+        for t_val in config.eval.timestep:
+            probs, labels = [], []
+            for i in range(len(val_dataset)):
+                s = val_dataset[i]
+                b = {k2: jnp.asarray(v)[None] for k2, v in s.items()
+                     if not isinstance(v, str)}
+                b = {k2: (v[0] if k2 == "labels" else v) for k2, v in b.items()}
+                probs.append(float(jitted_eval(
+                    state.params, frozen, b, jnp.float32(t_val),
+                    int(config.eval.seed))[0]))
+                labels.append(float(s["labels"]))
+            m = classification_metrics(np.asarray(probs), np.asarray(labels))
+            logger.log(int(state.step), m, prefix=f"val_t{t_val}")
+
     with jax.set_mesh(mesh):
         step_fn = jax.jit(step_fn)
+        jitted_eval = jax.jit(eval_fn, static_argnums=(4,))
         timer = StepTimer()
         n_steps = max_steps or config.optimizer.max_train_steps
         for step in range(n_steps):
@@ -127,6 +154,8 @@ def main(config, max_steps=None):
                 path = os.path.join(out_dir, f"checkpoint-{step + 1}")
                 ck.save_orbax(path, jax.device_get(state.params))
                 logging.info("saved %s", path)
+                if val_dataset is not None:
+                    run_eval(state, jitted_eval)
     return state
 
 
