@@ -1,0 +1,1 @@
+"""Utilities: checkpoint interop, video IO, profiling, tokenizers."""

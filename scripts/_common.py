@@ -20,42 +20,6 @@ from hyvideo_prfl_tpu.configs import dit_config_for_task, load_config  # noqa: E
 from hyvideo_prfl_tpu.parallel import sharding as shd  # noqa: E402
 
 
-def basic_init(config, log_name: str):
-    """Seeds, dirs, logging, mesh. Replaces NCCL/process-group setup with
-    jax.distributed + one mesh (SURVEY.md 2.8 P10)."""
-    out_dir = os.path.join(config.save.output_dir, config.train_id)
-    os.makedirs(out_dir, exist_ok=True)
-    log_dir = config.save.log_dir or os.path.join(out_dir, "logs")
-    os.makedirs(log_dir, exist_ok=True)
-    sanity_dir = config.save.sanity_check_dir or os.path.join(
-        out_dir, "sanity_check")
-    os.makedirs(sanity_dir, exist_ok=True)
-
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s %(levelname)s %(message)s",
-        handlers=[
-            logging.StreamHandler(),
-            logging.FileHandler(os.path.join(log_dir, "log.txt")),
-        ],
-    )
-
-    # config snapshot (train_prfl.py:142)
-    import yaml
-
-    with open(os.path.join(out_dir, f"{log_name}_config.yaml"), "w") as f:
-        yaml.safe_dump(dict(config), f, default_flow_style=None)
-
-    np.random.seed(config.train.seed)
-
-    n_dev = len(jax.devices())
-    sp = min(config.dataset.sp_size, n_dev)
-    data = n_dev // sp
-    mesh = shd.make_mesh(data=data, sp=sp, devices=jax.devices()[: data * sp])
-    logging.info("mesh: data=%d sp=%d (%d devices)", data, sp, n_dev)
-    return dataclasses.replace  # noqa: dummy to keep imports
-
-
 def build_mesh(config):
     n_dev = len(jax.devices())
     sp = max(1, min(int(config.dataset.sp_size), n_dev))

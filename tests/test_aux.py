@@ -264,3 +264,26 @@ def test_teacher_student_mesh(devices8):
             in_specs=P("ts", None), out_specs=P("ts", None),
         ))(xs)
     np.testing.assert_array_equal(np.asarray(out), 1.0)  # all got teacher's
+
+
+def test_ring_attention_matches_full(devices8):
+    """K/V ring rotation + online-softmax merge == full attention."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from hyvideo_prfl_tpu.ops.attention import _xla_attention
+    from hyvideo_prfl_tpu.ops.ring_attention import ring_attention
+    from hyvideo_prfl_tpu.parallel import sharding as shd
+
+    mesh = shd.make_mesh(data=2, sp=4)
+    b, l, n, d = 2, 64, 4, 32
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (b, l, n, d))
+    k = jax.random.normal(ks[1], (b, l, n, d))
+    v = jax.random.normal(ks[2], (b, l, n, d))
+    ref = _xla_attention(q, k, v, None)
+    with jax.set_mesh(mesh):
+        spec = NamedSharding(mesh, P("data", "sp", None, None))
+        out = jax.jit(ring_attention)(
+            jax.device_put(q, spec), jax.device_put(k, spec),
+            jax.device_put(v, spec))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=3e-5)
