@@ -20,7 +20,22 @@ from hyvideo_prfl_tpu.configs import dit_config_for_task, load_config  # noqa: E
 from hyvideo_prfl_tpu.parallel import sharding as shd  # noqa: E402
 
 
+def maybe_init_distributed():
+    """Multi-host rendezvous: jax.distributed.initialize when launched under
+    a pod scheduler (replaces torchrun's RANK/WORLD_SIZE env rendezvous,
+    SURVEY.md 2.8 P10). No-op for single-host runs."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "MEGASCALE_COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+            logging.info("jax.distributed initialized: process %d/%d",
+                         jax.process_index(), jax.process_count())
+        except Exception as e:  # already initialized / single host
+            logging.info("jax.distributed.initialize skipped: %s", e)
+
+
 def build_mesh(config):
+    maybe_init_distributed()
     n_dev = len(jax.devices())
     sp = max(1, min(int(config.dataset.sp_size), n_dev))
     data = n_dev // sp
