@@ -89,7 +89,7 @@ def lora_state_dict(lora: Dict, fmt: str = "transformer") -> Dict:
                     base = f"lora_unet_blocks_{i}_{attn}_{m}"
                     out[f"{base}.lora_down.weight"] = np.transpose(a[i])
                     out[f"{base}.lora_up.weight"] = np.transpose(b[i])
-                    out[f"{base}.alpha"] = np.float32(a.shape[-1])
+                    out[f"{base}.alpha"] = np.asarray(a.shape[-1], np.float32)
                 else:  # diffusers
                     base = f"transformer.blocks.{i}.{attn}.{m}"
                     out[f"{base}.lora_A.weight"] = np.transpose(a[i])

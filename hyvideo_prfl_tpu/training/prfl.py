@@ -65,14 +65,19 @@ class PrflModel:
         self.lrm = PavrmModel(dit_cfg, pavrm_cfg, policy)
 
 
-def make_refl_step(model: PrflModel, tx):
+def make_refl_step(model: PrflModel, tx, lora_mode: bool = False,
+                   lora_scale: float = 1.0):
     """Build the jitted PRFL reward step.
 
     state.params = full policy DiT params. The frozen LRM tower
     ({"dit":..., "q":..., "m":...}) is a step ARGUMENT — closing over it
     would bake its weights into the HLO as literals. Batch supplies
     text/cond/clip conditioning and the latent SHAPE (contents unused —
-    rollout starts from pure noise, train_prfl.py:637)."""
+    rollout starts from pure noise, train_prfl.py:637).
+
+    lora_mode: state.params is a LoRA tree; the frozen base DiT params ride
+    in lrm["base"] and merge inside the loss (training/lora.py; the
+    reference's peft path, train_prfl.py:320-333)."""
     cfg = model.cfg
     sched = unipc.unipc_schedule(
         cfg.inference_steps, shift=cfg.flow_shift,
@@ -80,6 +85,10 @@ def make_refl_step(model: PrflModel, tx):
     )
 
     def loss_fn(params, lrm, batch, rng):
+        if lora_mode:
+            from . import lora as lora_mod
+
+            params = lora_mod.apply_lora(lrm["base"], params, lora_scale)
         k_noise, k_mid = jax.random.split(rng)
         shape = batch["latents"].shape
         latent0 = jax.random.normal(k_noise, shape, jnp.float32)
@@ -155,12 +164,18 @@ def make_refl_step(model: PrflModel, tx):
 
 
 def make_sft_step(model: PrflModel, tx, schedule: fm.FlowMatchSchedule,
-                  sft_cfg: Optional[PrflConfig] = None):
+                  sft_cfg: Optional[PrflConfig] = None,
+                  lora_mode: bool = False, lora_scale: float = 1.0,
+                  lora_base=None):
     """Flow-matching SFT step (train_prfl.py:900-1034): sample (t, sigma),
     add noise to cached data latents, MSE(v_pred, eps - x0)."""
     cfg = sft_cfg or model.cfg
 
     def loss_fn(params, batch, rng):
+        if lora_mode:
+            from . import lora as lora_mod
+
+            params = lora_mod.apply_lora(lora_base, params, lora_scale)
         b = batch["latents"].shape[0]
         k_t, k_n = jax.random.split(rng)
         t, sigma = fm.sample_train_timestep(

@@ -29,7 +29,7 @@ from hyvideo_prfl_tpu.data.loader import BlockDistributedSampler, BatchIterator
 from hyvideo_prfl_tpu.models import wan_dit
 from hyvideo_prfl_tpu.parallel import sharding as shd
 from hyvideo_prfl_tpu.schedulers import flow_match as fm
-from hyvideo_prfl_tpu.training import common, ema as ema_mod
+from hyvideo_prfl_tpu.training import common, ema as ema_mod, lora as lora_mod
 from hyvideo_prfl_tpu.training.pavrm import PavrmConfig
 from hyvideo_prfl_tpu.training.prfl import (
     PrflConfig, PrflModel, make_refl_step, make_sft_step,
@@ -101,6 +101,7 @@ def main(config, max_steps=None):
         lrm_q = {"params": lrm_trainable["q_attn"]}
         lrm_m = {"params": lrm_trainable["mlp"]}
 
+    use_lora = bool(config.model.lora.use_lora)
     tx = common.make_optimizer(
         learning_rate=config.optimizer.learning_rate,
         adam_beta1=config.optimizer.adam_beta1,
@@ -111,9 +112,20 @@ def main(config, max_steps=None):
         max_train_steps=config.optimizer.max_train_steps,
         gradient_accumulation_steps=config.train.gradient_accumulation_steps,
     )
-    state = common.init_train_state(params, tx)
+    if use_lora:
+        # freeze the base; train a LoRA tree (reference peft path,
+        # train_prfl.py:320-333)
+        lora_params = lora_mod.lora_init(
+            jax.random.PRNGKey(config.train.seed + 1), params,
+            rank=int(config.model.lora.lora_rank),
+            target_modules=tuple(config.model.lora.target_modules),
+        )
+        state = common.init_train_state(lora_params, tx)
+    else:
+        state = common.init_train_state(params, tx)
     use_ema = config.model.ema.use_ema
-    ema_params = ema_mod.ema_init(params) if use_ema else None
+    # EMA tracks whatever is being trained (LoRA tree or full params)
+    ema_params = ema_mod.ema_init(state.params) if use_ema else None
 
     dataset = LatentCacheDataset(
         "refl",
@@ -129,10 +141,13 @@ def main(config, max_steps=None):
     loader = iter(BatchIterator(dataset, sampler,
                                 batch_size=config.dataset.batch_size))
 
-    refl_fn = make_refl_step(model, tx)
+    refl_fn = make_refl_step(model, tx, lora_mode=use_lora)
     lrm_tower = {"dit": lrm_dit, "q": lrm_q, "m": lrm_m}
+    if use_lora:
+        lrm_tower["base"] = params
     sft_fn = make_sft_step(model, tx, fm.train_schedule(
-        config.extra_model.scheduler.num_train_timesteps))
+        config.extra_model.scheduler.num_train_timesteps),
+        lora_mode=use_lora, lora_base=params if use_lora else None)
 
     sanity_dir = config.save.sanity_check_dir or os.path.join(
         out_dir, "sanity_check")
@@ -196,13 +211,29 @@ def main(config, max_steps=None):
             })
 
             if (step + 1) % config.train.save_interval == 0:
-                ck.save_wan_checkpoint(
-                    jax.device_get(state.params), dit_cfg, out_dir,
-                    step=step + 1)
-                if use_ema:
+                if use_lora:
+                    # export merged weights + LoRA-only state dicts in all
+                    # three reference formats (model_utils.py:38-67)
+                    merged = lora_mod.apply_lora(params, jax.device_get(state.params))
+                    ck.save_wan_checkpoint(merged, dit_cfg, out_dir,
+                                           step=step + 1)
+                    import safetensors.numpy as stnp
+                    for fmt in ("transformer", "kohya", "diffusers"):
+                        stnp.save_file(
+                            lora_mod.lora_state_dict(
+                                jax.device_get(state.params), fmt),
+                            os.path.join(out_dir, f"checkpoint-{step + 1}",
+                                         f"lora_{fmt}.safetensors"))
+                else:
                     ck.save_wan_checkpoint(
-                        jax.device_get(ema_params), dit_cfg,
-                        out_dir + "-ema", step=step + 1)
+                        jax.device_get(state.params), dit_cfg, out_dir,
+                        step=step + 1)
+                if use_ema:
+                    ema_full = (lora_mod.apply_lora(params,
+                                                    jax.device_get(ema_params))
+                                if use_lora else jax.device_get(ema_params))
+                    ck.save_wan_checkpoint(
+                        ema_full, dit_cfg, out_dir + "-ema", step=step + 1)
                 logging.info("saved checkpoint-%d", step + 1)
     return state
 

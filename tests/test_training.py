@@ -176,3 +176,36 @@ def test_classification_metrics():
     assert m["precision"] == 0.5
     assert m["recall"] == 0.5
     assert m["f1"] == 0.5
+
+
+def test_prfl_lora_mode_trains_only_lora():
+    """PRFL with LoRA: only the low-rank tree updates; base stays frozen."""
+    from hyvideo_prfl_tpu.training import lora as lora_mod
+
+    dit_cfg = _tiny_dit()
+    pc = PavrmConfig(loss="ce", feature_layer=(2,))
+    prfl_cfg = PrflConfig(inference_steps=4, flow_shift=3.0)
+    model = PrflModel(dit_cfg, pc, prfl_cfg)
+    base_params = wan_dit.init_params(dit_cfg, jax.random.PRNGKey(0))
+    # zero-init head blocks gradients to everything upstream; randomize it
+    hk = base_params["params"]["head"]["head"]["kernel"]
+    base_params["params"]["head"]["head"]["kernel"] = (
+        jax.random.normal(jax.random.PRNGKey(9), hk.shape) * 0.02)
+    lora = lora_mod.lora_init(jax.random.PRNGKey(1), base_params, rank=4)
+    lrm_trainable, lrm_frozen = model.lrm.init_all(jax.random.PRNGKey(2))
+    lrm_tower = {
+        "dit": common.merge_tree(
+            {"params": {"blocks": lrm_trainable["blocks"]}}, lrm_frozen),
+        "q": {"params": lrm_trainable["q_attn"]},
+        "m": {"params": lrm_trainable["mlp"]},
+        "base": base_params,
+    }
+    tx = common.make_optimizer(learning_rate=1e-3)
+    state = common.init_train_state(lora, tx)
+    step0 = jax.jit(make_refl_step(model, tx, lora_mode=True))
+    batch = _batch(6, b=1, cfg=dit_cfg, with_labels=False)
+    state, m = step0(state, batch, jax.random.PRNGKey(3), lrm_tower)
+    assert np.isfinite(float(m["loss"]))
+    # the B matrices must have moved away from zero-init
+    b_sum = float(jnp.abs(state.params["lora"]["self_attn"]["q"]["B"]).sum())
+    assert b_sum > 0
