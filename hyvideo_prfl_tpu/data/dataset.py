@@ -215,3 +215,50 @@ class LatentCacheDataset:
         if self.is_i2v and cond_lose is not None:
             win["cond_lose"] = cond_lose
         return win
+
+
+class EvalPromptDataset:
+    """Prompt(+image) list for inference runs.
+
+    Parity target: Image2VideoEvalDataset (image2video_dataset.py:351-446):
+    a txt file of prompts or a JSON list of {prompt|caption, image_path?}
+    records; images resized aspect-preserving to 16-aligned dims.
+    """
+
+    def __init__(self, path: str, height: int = 480, width: int = 832):
+        self.items: List[Dict] = []
+        self.height = height
+        self.width = width
+        if path.endswith(".txt"):
+            with open(path) as f:
+                self.items = [{"prompt": ln.strip()} for ln in f if ln.strip()]
+        else:
+            with open(path) as f:
+                data = json.load(f)
+            for d in data:
+                self.items.append({
+                    "prompt": d.get("prompt") or d.get("caption")
+                    or d.get("short_caption", ""),
+                    "image_path": d.get("image_path") or d.get("img_path"),
+                    **{k: v for k, v in d.items()
+                       if k not in ("prompt", "caption")},
+                })
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx: int) -> Dict:
+        item = dict(self.items[idx])
+        img_path = item.get("image_path")
+        if img_path and os.path.exists(img_path):
+            from PIL import Image
+
+            img = Image.open(img_path).convert("RGB")
+            w0, h0 = img.size
+            scale = max(self.height / h0, self.width / w0)
+            nw = int(round(w0 * scale / 16)) * 16
+            nh = int(round(h0 * scale / 16)) * 16
+            img = img.resize((nw, nh))
+            arr = np.asarray(img, np.float32) / 127.5 - 1.0
+            item["image"] = arr[:self.height, :self.width]
+        return item

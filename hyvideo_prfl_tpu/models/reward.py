@@ -167,3 +167,66 @@ def pool_features(features: jnp.ndarray, method: str,
     else:
         raise ValueError(f"unknown pool {method}")
     return pooled.mean(axis=0)
+
+
+def train_reward_mlp(features, labels, mode: str = "clf", epochs: int = 3,
+                     lr: float = 1e-3, batch_size: int = 512, seed: int = 0,
+                     val_split: float = 0.2, patience: int = 3,
+                     verbose: bool = False):
+    """Standalone offline reward-MLP trainer over precomputed features
+    (network.py:164-214 train_model): random minibatches, BCE, simple
+    early stopping on a held-out split. mode "clf" (pointwise) or
+    "siamese" (features [N, 2, D] win/lose pairs).
+
+    Returns (params, history dict).
+    """
+    import numpy as np
+    import optax
+
+    features = jnp.asarray(features, jnp.float32)
+    labels = jnp.asarray(labels, jnp.float32)
+    n = features.shape[0]
+    n_val = max(1, int(n * val_split))
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(n)
+    tr, va = perm[n_val:], perm[:n_val]
+    x_tr, y_tr = features[tr], labels[tr]
+    x_va, y_va = features[va], labels[va]
+
+    mlp = RewardMLP()
+    d = features.shape[-1]
+    params = mlp.init(jax.random.PRNGKey(seed),
+                      jnp.zeros((1, d)))
+    tx = optax.adam(lr)
+    opt = tx.init(params)
+
+    def fwd(p, x):
+        if mode == "siamese":
+            return siamese_prob(mlp.apply(p, x[:, 0]), mlp.apply(p, x[:, 1]))
+        return reward_sigmoid(mlp.apply(p, x))
+
+    @jax.jit
+    def step(p, opt, x, y):
+        def loss_fn(p):
+            return bce_loss(fwd(p, x)[:, 0], y)
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        up, opt = tx.update(g, opt)
+        return optax.apply_updates(p, up), opt, loss
+
+    bs = min(batch_size, x_tr.shape[0])
+    val_losses = []
+    for epoch in range(epochs):
+        for _ in range(max(1, x_tr.shape[0] // bs)):
+            idx = rng.permutation(x_tr.shape[0])[:bs]
+            params, opt, loss = step(params, opt, x_tr[idx], y_tr[idx])
+        val_loss = float(bce_loss(fwd(params, x_va)[:, 0], y_va))
+        val_losses.append(val_loss)
+        if verbose:
+            print(f"epoch {epoch}: train {float(loss):.4f} val {val_loss:.4f}")
+        if (len(val_losses) > patience
+                and all(val_losses[-1] > v
+                        for v in val_losses[-(patience + 1):-1])):
+            break
+    acc = float(jnp.mean(((fwd(params, x_va)[:, 0] > 0.5)
+                          == (y_va > 0.5)).astype(jnp.float32)))
+    return params, {"val_losses": val_losses, "val_accuracy": acc}

@@ -64,6 +64,10 @@ class WanConfig:
     cross_attn_norm: bool = True
     eps: float = 1e-6
     compute_dtype: Any = jnp.bfloat16
+    # residual-stream dtype: fp32 matches the reference's numerics
+    # (model.py:339-358 keeps x fp32 between blocks); bf16 halves the
+    # HBM traffic of the stream + norms at some precision cost
+    residual_dtype: Any = jnp.float32
     remat: bool = True  # activation checkpointing per block
     # remat policy: "full" recomputes everything (min memory);
     # "dots" saves matmul outputs (recompute only elementwise; faster bwd)
@@ -256,13 +260,15 @@ class WanBlock(nn.Module):
             (1, 6, cfg.dim),
         )
         # e: [B, 6, dim] fp32; modulation add in fp32 (model.py:339-341)
+        rd = cfg.residual_dtype
         e6 = (mod.astype(jnp.float32) + e.astype(jnp.float32))
-        e0, e1, e2, e3, e4, e5 = [e6[:, i][:, None, :] for i in range(6)]
+        e0, e1, e2, e3, e4, e5 = [e6[:, i][:, None, :].astype(rd)
+                                  for i in range(6)]
 
-        x = x.astype(jnp.float32)
-        h = _layer_norm(x, 1e-6) * (1.0 + e1) + e0
+        x = x.astype(rd)
+        h = _layer_norm(x, 1e-6).astype(rd) * (1.0 + e1) + e0
         y = SelfAttention(cfg, policy, name="self_attn")(h.astype(cd), cos, sin)
-        x = x + y.astype(jnp.float32) * e2
+        x = x + y.astype(rd) * e2
         x = constrain(x, policy, "tokens")
 
         if cfg.cross_attn_norm:
@@ -272,13 +278,13 @@ class WanBlock(nn.Module):
         else:
             h = x
         y = CrossAttention(cfg, policy, name="cross_attn")(h.astype(cd), context)
-        x = x + y.astype(jnp.float32)
+        x = x + y.astype(rd)
 
-        h = _layer_norm(x, 1e-6) * (1.0 + e4) + e3
+        h = _layer_norm(x, 1e-6).astype(rd) * (1.0 + e4) + e3
         h = _dense("ffn_0", cfg.ffn_dim, cd)(h.astype(cd))
         h = nn.gelu(h, approximate=True)
         h = _dense("ffn_2", cfg.dim, cd)(h)
-        x = x + h.astype(jnp.float32) * e5
+        x = x + h.astype(rd) * e5
         x = constrain(x, policy, "tokens")
         return x
 

@@ -287,3 +287,26 @@ def test_ring_attention_matches_full(devices8):
             jax.device_put(v, spec))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-5, rtol=3e-5)
+
+
+def test_eval_prompt_dataset(tmp_path):
+    import json as _json
+    from hyvideo_prfl_tpu.data.dataset import EvalPromptDataset
+    txt = tmp_path / "prompts.txt"
+    txt.write_text("a cat\n\na dog\n")
+    ds = EvalPromptDataset(str(txt))
+    assert len(ds) == 2 and ds[0]["prompt"] == "a cat"
+    jsn = tmp_path / "prompts.json"
+    jsn.write_text(_json.dumps([{"prompt": "x"}, {"caption": "y"}]))
+    ds2 = EvalPromptDataset(str(jsn))
+    assert ds2[1]["prompt"] == "y"
+
+
+def test_train_reward_mlp_standalone():
+    from hyvideo_prfl_tpu.models.reward import train_reward_mlp
+    rng = np.random.RandomState(0)
+    feats = np.concatenate([rng.randn(64, 16) + 2, rng.randn(64, 16) - 2])
+    labels = np.concatenate([np.ones(64), np.zeros(64)])
+    params, hist = train_reward_mlp(feats, labels, epochs=20, lr=3e-3,
+                                    batch_size=32)
+    assert hist["val_accuracy"] >= 0.9, hist
