@@ -388,7 +388,7 @@ class WanModel(nn.Module):
             b, seq_len, pt * ph * pw * c_in
         )
         h = _dense("patch_embedding", cfg.dim, cd)(xp.astype(cd))
-        h = h.astype(jnp.float32)
+        h = h.astype(cfg.residual_dtype)
         h = constrain(h, policy, "tokens")
 
         # --- time embedding (fp32 island, model.py:590-594) ---
@@ -435,7 +435,7 @@ class WanModel(nn.Module):
             )
 
         feats0 = (
-            jnp.zeros((n_sel, b, seq_len, cfg.dim), jnp.float32)
+            jnp.zeros((n_sel, b, seq_len, cfg.dim), cfg.residual_dtype)
             if n_sel
             else None
         )
@@ -472,7 +472,7 @@ class WanModel(nn.Module):
             h_in = h
             h = jax.lax.cond(
                 skip_blocks,
-                lambda x: x + residual_in.astype(jnp.float32),
+                lambda x: x + residual_in.astype(x.dtype),
                 lambda x: run_blocks(x)[0],
                 h,
             )
