@@ -73,19 +73,37 @@ class WanPipeline:
     """Shared cond/uncond CFG sampling over a Wan DiT."""
 
     def __init__(self, dit_cfg: wan_dit.WanConfig, params: Dict,
-                 policy=None, vae=None, vae_params=None):
+                 policy=None, vae=None, vae_params=None,
+                 batch_cfg: bool = True):
         self.cfg = dit_cfg
         self.model = wan_dit.WanModel(dit_cfg, policy)
         self.params = params
         self.vae = vae
         self.vae_params = vae_params
+        # batch_cfg: run the cond/uncond pair as ONE 2B-batch forward
+        # (fewer dispatches, better MXU utilization at small batch) instead
+        # of the reference's two sequential forwards (image2video.py:357-374)
+        self.batch_cfg = batch_cfg
 
     def _velocity_cfg(self, x, t, context, context_null, guide_scale,
                       y=None, clip_fea=None):
-        cond = self.model.apply(self.params, x, t, context,
-                                y=y, clip_fea=clip_fea)
-        uncond = self.model.apply(self.params, x, t, context_null,
-                                  y=y, clip_fea=clip_fea)
+        if self.batch_cfg:
+            b = x.shape[0]
+            x2 = jnp.concatenate([x, x], axis=0)
+            ctx2 = jnp.concatenate([context, context_null], axis=0)
+            t2 = jnp.broadcast_to(jnp.atleast_1d(t), (b,))
+            t2 = jnp.concatenate([t2, t2], axis=0)
+            y2 = jnp.concatenate([y, y], axis=0) if y is not None else None
+            clip2 = (jnp.concatenate([clip_fea, clip_fea], axis=0)
+                     if clip_fea is not None else None)
+            out = self.model.apply(self.params, x2, t2, ctx2,
+                                   y=y2, clip_fea=clip2)
+            cond, uncond = out[:b], out[b:]
+        else:
+            cond = self.model.apply(self.params, x, t, context,
+                                    y=y, clip_fea=clip_fea)
+            uncond = self.model.apply(self.params, x, t, context_null,
+                                      y=y, clip_fea=clip_fea)
         return uncond + guide_scale * (cond - uncond)
 
     def sample(self, rng, latent_shape, context, context_null,

@@ -117,3 +117,21 @@ def test_ema_update_moves_toward_params():
     p2 = {"w": jnp.ones((4,))}
     e2 = ema_mod.ema_update(e, p2, decay=0.9)
     np.testing.assert_allclose(np.asarray(e2["w"]), 0.1, atol=1e-6)
+
+
+def test_batched_cfg_matches_sequential():
+    cfg = wan_dit.tiny_test(remat=False)
+    params = wan_dit.init_params(cfg, jax.random.PRNGKey(0))
+    hk = params["params"]["head"]["head"]["kernel"]
+    params["params"]["head"]["head"]["kernel"] = (
+        jax.random.normal(jax.random.PRNGKey(9), hk.shape) * 0.02)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.text_len, cfg.text_dim)) * 0.1
+    ctx_null = jnp.zeros_like(ctx)
+    gen = GenerateConfig(sampling_steps=3, shift=3.0)
+    rng = jax.random.PRNGKey(2)
+    p_b = WanT2V(cfg, params, batch_cfg=True)
+    p_s = WanT2V(cfg, params, batch_cfg=False)
+    lat_b = p_b.generate(rng, ctx, ctx_null, 2, 8, 8, gen)
+    lat_s = p_s.generate(rng, ctx, ctx_null, 2, 8, 8, gen)
+    np.testing.assert_allclose(np.asarray(lat_b), np.asarray(lat_s),
+                               atol=2e-4, rtol=2e-4)
