@@ -195,6 +195,8 @@ def _flash_fwd_impl(q, k, v, valid, block_q, block_k):
             jax.ShapeDtypeStruct((bn, lq, d), q.dtype),
             jax.ShapeDtypeStruct((bn, lq, 128), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(valid, q, k, v)
     return o, lse
 
@@ -233,6 +235,8 @@ def _flash_bwd(block_q, block_k, res, do):
             scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((bn, lq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(valid, q, k, v, do, lse, delta)
 
     dk, dv = pl.pallas_call(
@@ -261,6 +265,8 @@ def _flash_bwd(block_q, block_k, res, do):
             jax.ShapeDtypeStruct((bn, lk, d), k.dtype),
             jax.ShapeDtypeStruct((bn, lk, d), v.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(valid, q, k, v, do, lse, delta)
     return dq, dk, dv, None
 
