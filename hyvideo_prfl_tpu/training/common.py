@@ -135,3 +135,15 @@ def slice_blocks(params: Dict, k: int) -> Dict:
 def global_norm_finite(grads) -> jnp.ndarray:
     """Finite-guarded gradient norm (NaN/Inf guard, train_pavrm.py:874-880)."""
     return optax.global_norm(grads)
+
+
+def validate_params(params) -> dict:
+    """NaN/Inf parameter health check (validate_model_parameters,
+    train_pavrm.py:85-107: run at init and every 100 steps). Returns
+    {"finite": bool, "bad": [leaf paths]} — one device sync."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    bad = []
+    for path, leaf in flat:
+        if not bool(jnp.isfinite(leaf).all()):
+            bad.append(jax.tree_util.keystr(path))
+    return {"finite": not bad, "bad": bad}

@@ -37,6 +37,10 @@ from hyvideo_prfl_tpu.utils import checkpoint as ck
 
 
 def main(config, max_steps=None):
+    if config.train.get("debug_nans"):
+        # the jax analog of torch.autograd.set_detect_anomaly
+        # (train_pavrm.py:1319) — expensive, opt-in via train.debug_nans
+        jax.config.update("jax_debug_nans", True)
     out_dir = os.path.join(config.save.output_dir, config.train_id)
     os.makedirs(out_dir, exist_ok=True)
     logging.basicConfig(level=logging.INFO)
@@ -150,6 +154,10 @@ def main(config, max_steps=None):
             metrics = {k2: float(v) for k2, v in metrics.items()}
             dt = timer.toc()
             logger.log(step, {**metrics, "step_time": dt})
+            if (step + 1) % 100 == 0:
+                health = common.validate_params(state.params)
+                if not health["finite"]:
+                    logging.error("NON-FINITE PARAMS: %s", health["bad"][:5])
             if (step + 1) % config.train.save_interval == 0:
                 path = os.path.join(out_dir, f"checkpoint-{step + 1}")
                 ck.save_orbax(path, jax.device_get(state.params))

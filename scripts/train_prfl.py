@@ -38,6 +38,10 @@ from hyvideo_prfl_tpu.utils import checkpoint as ck
 
 
 def main(config, max_steps=None):
+    if config.train.get("debug_nans"):
+        # the jax analog of torch.autograd.set_detect_anomaly
+        # (train_pavrm.py:1319) — expensive, opt-in via train.debug_nans
+        jax.config.update("jax_debug_nans", True)
     out_dir = os.path.join(config.save.output_dir, config.train_id)
     os.makedirs(out_dir, exist_ok=True)
     logging.basicConfig(level=logging.INFO)
@@ -210,6 +214,10 @@ def main(config, max_steps=None):
                 "t_refl": t_refl, "t_sft": t_sft,
             })
 
+            if (step + 1) % 100 == 0:
+                health = common.validate_params(state.params)
+                if not health["finite"]:
+                    logging.error("NON-FINITE PARAMS: %s", health["bad"][:5])
             if (step + 1) % config.train.save_interval == 0:
                 if use_lora:
                     # export merged weights + LoRA-only state dicts in all

@@ -209,3 +209,12 @@ def test_prfl_lora_mode_trains_only_lora():
     # the B matrices must have moved away from zero-init
     b_sum = float(jnp.abs(state.params["lora"]["self_attn"]["q"]["B"]).sum())
     assert b_sum > 0
+
+
+def test_validate_params():
+    good = {"a": jnp.ones((4,)), "b": {"c": jnp.zeros((2,))}}
+    h = common.validate_params(good)
+    assert h["finite"] and not h["bad"]
+    bad = {"a": jnp.ones((4,)), "b": {"c": jnp.asarray([1.0, np.nan])}}
+    h = common.validate_params(bad)
+    assert not h["finite"] and "c" in h["bad"][0]
