@@ -31,8 +31,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512  # measured best on v5e (41.6 TF/s @ 8k tokens)
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_Q = 512
+# measured on v5e (see CLAUDE.md timing protocol): full-K blocks win up to
+# ~3.5k keys (48 TF/s @3584, no pad waste); 2048 wins beyond
+# (83.7 TF/s @8192, 112 TF/s @18944 = 57% of peak)
+DEFAULT_BLOCK_K = 2048
+FULL_K_MAX = 3584
 NEG_INF = -1e30
 
 
@@ -279,17 +283,23 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     k_valid_len: Optional[jnp.ndarray] = None,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
 ) -> jnp.ndarray:
     """Flash attention over [B, L, N, D] tensors; returns [B, Lq, N, D]."""
     b, lq, n, d = q.shape
     lk = k.shape[1]
     assert d % 128 == 0, f"head_dim {d} must be a multiple of 128"
 
+    lk128 = _pad_len(lk, 128)
+    if block_q is None:
+        block_q = DEFAULT_BLOCK_Q
+    if block_k is None:
+        # full-K (one inner step, no pad waste) when it fits VMEM comfortably
+        block_k = lk128 if lk128 <= FULL_K_MAX else DEFAULT_BLOCK_K
     # clamp blocks for short sequences (pad to 128 granularity first)
     block_q = min(block_q, _pad_len(lq, 128))
-    block_k = min(block_k, _pad_len(lk, 128))
+    block_k = min(block_k, lk128)
     lq_p = _pad_len(lq, block_q)
     lk_p = _pad_len(lk, block_k)
 
