@@ -86,9 +86,16 @@ def fsdp_param_sharding(mesh: Mesh, params, min_size: int = 2 ** 16):
         if x.size < min_size:
             return NamedSharding(mesh, P())
         shape = x.shape
-        # choose the largest dim divisible by the device count
-        order = sorted(range(len(shape)), key=lambda i: -shape[i])
-        for i in order:
+        # broadcast-style params (any singleton dim, e.g. adaLN modulation
+        # [L, 1, 6, dim]) stay replicated: sharding them forces per-layer
+        # reshards against the replicated time embedding they are added to
+        if 1 in shape:
+            return NamedSharding(mesh, P())
+        # prefer TRAILING feature axes and never shard axis 0 of stacked
+        # per-layer params (rank >= 3): the nn.scan slices axis 0 per layer,
+        # and sharding it forces an SPMD reshard inside the loop body
+        start = 1 if len(shape) >= 3 else 0
+        for i in reversed(range(start, len(shape))):
             if shape[i] % n_dev == 0:
                 spec = [None] * len(shape)
                 spec[i] = (DATA_AXIS, SP_AXIS)
