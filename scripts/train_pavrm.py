@@ -140,7 +140,7 @@ def main(config, max_steps=None):
             logger.log(int(state.step), m, prefix=f"val_t{t_val}")
 
     with jax.set_mesh(mesh):
-        step_fn = jax.jit(step_fn)
+        step_fn = jax.jit(step_fn, donate_argnums=(0,))
         jitted_eval = jax.jit(eval_fn, static_argnums=(4,))
         timer = StepTimer()
         n_steps = max_steps or config.optimizer.max_train_steps

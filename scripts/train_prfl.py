@@ -182,8 +182,10 @@ def main(config, max_steps=None):
                         lat)
 
     with jax.set_mesh(mesh):
-        refl_fn = jax.jit(refl_fn)
-        sft_fn = jax.jit(sft_fn)
+        # donate the train state: avoids a second live copy of params +
+        # optimizer state per step (the 14B memory budget depends on it)
+        refl_fn = jax.jit(refl_fn, donate_argnums=(0,))
+        sft_fn = jax.jit(sft_fn, donate_argnums=(0,))
         timer_refl, timer_sft = StepTimer(), StepTimer()
         n_steps = max_steps or config.optimizer.max_train_steps
         for step in range(start_step, n_steps):
