@@ -61,6 +61,15 @@ class PavrmModel:
         self.pc = pc
         n_blocks = max(pc.feature_layer)
         assert n_blocks <= dit_cfg.num_layers
+        # every shipped config trains exactly the kept blocks
+        # (trainable_blocks == range(max(feature_layer)),
+        # configs/train_pavrm_*.yaml); a strict subset would need an optax
+        # mask — assert so a silent mismatch can't train the wrong params
+        if pc.trainable_blocks:
+            kept = tuple(b for b in pc.trainable_blocks if b < n_blocks)
+            assert kept == tuple(range(n_blocks)), (
+                f"trainable_blocks must cover range({n_blocks}) (the kept "
+                "blocks); strict-subset masking is not implemented")
         self.dit_cfg = trimmed_config(dit_cfg, n_blocks)
         self.dit = wan_dit.WanModel(self.dit_cfg, policy)
         self.q_attn = rw.QueryAttention(

@@ -12,11 +12,10 @@ import time
 from collections import deque
 
 import jax
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from hyvideo_prfl_tpu.configs import dit_config_for_task, load_config  # noqa: E402
+from hyvideo_prfl_tpu.configs import dit_config_for_task  # noqa: E402
 from hyvideo_prfl_tpu.parallel import sharding as shd  # noqa: E402
 
 
