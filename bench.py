@@ -66,9 +66,11 @@ def main():
     )
     from hyvideo_prfl_tpu.schedulers import flow_match as fm
 
+    import os
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
     dit_cfg = wan_dit.WanConfig(
         model_type="t2v", dim=BENCH_DIM, ffn_dim=BENCH_FFN,
-        num_heads=BENCH_HEADS, num_layers=BENCH_LAYERS, remat=True,
+        num_heads=BENCH_HEADS, num_layers=BENCH_LAYERS, remat=remat,
     )
     pc = PavrmConfig(loss="ce", feature_layer=(8,))
     # worst-case mid, pinned for reproducible timing
