@@ -75,6 +75,11 @@ class MetricLogger:
 
     def __init__(self, log_dir):
         self.writer = None
+        os.makedirs(log_dir, exist_ok=True)
+        # append-only text log like the reference's log.txt
+        fh = logging.FileHandler(os.path.join(log_dir, "log.txt"))
+        fh.setFormatter(logging.Formatter("%(asctime)s %(message)s"))
+        logging.getLogger().addHandler(fh)
         try:
             from torch.utils.tensorboard import SummaryWriter
 
