@@ -124,6 +124,15 @@ class WanPipeline:
             )
             x, _ = unipc.rollout(sched, vel, noise)
             return x
+        if gen.sample_solver in ("dpm++", "dpm"):
+            from ..schedulers import dpm as dpm_mod
+
+            sched = dpm_mod.dpm_schedule(
+                gen.sampling_steps, shift=gen.shift,
+                num_train_timesteps=gen.num_train_timesteps,
+            )
+            x, _ = dpm_mod.rollout(sched, vel, noise)
+            return x
         if gen.sample_solver == "euler":
             sched = fm.inference_schedule(
                 gen.sampling_steps, shift=gen.shift,

@@ -51,6 +51,8 @@ def args_init():
     p.add_argument("--sample_shift", type=float, default=None)
     p.add_argument("--sample_guide_scale", type=float, default=5.0)
     p.add_argument("--base_seed", type=int, default=42)
+    p.add_argument("--teacache_thresh", type=float, default=None,
+                   help="enable TeaCache step skipping (arguments.py:170-174)")
     p.add_argument("--ulysses_size", type=int, default=1)
     p.add_argument("--save_file", default="out.mp4")
     p.add_argument("--vae_params", default=None)
@@ -96,15 +98,20 @@ def main():
     )
     gen = GenerateConfig(
         sampling_steps=args.sample_steps, shift=args.sample_shift,
-        guide_scale=args.sample_guide_scale, sample_solver=args.sample_solver
-        if args.sample_solver != "dpm++" else "unipc",
+        guide_scale=args.sample_guide_scale, sample_solver=args.sample_solver,
     )
 
     with jax.set_mesh(mesh):
         rng = jax.random.PRNGKey(args.base_seed)
         if "t2v" in args.task:
             pipe = WanT2V(dit_cfg, params, policy)
-            lat = pipe.generate(rng, ctx, ctx_null, lat_f, lat_h, lat_w, gen)
+            if args.teacache_thresh is not None:
+                key = ("t2v-1.3b" if "1.3" in args.task.lower() else "t2v-14b")
+                lat = pipe.sample_teacache(
+                    rng, (1, lat_f, lat_h, lat_w, 16), ctx, ctx_null, gen,
+                    thresh=args.teacache_thresh, coeffs_key=key)
+            else:
+                lat = pipe.generate(rng, ctx, ctx_null, lat_f, lat_h, lat_w, gen)
         else:
             clip = load_or_zeros(args.clip_embeds, (1, 257, 1280))
             cond = load_or_zeros(

@@ -135,3 +135,14 @@ def test_batched_cfg_matches_sequential():
     lat_s = p_s.generate(rng, ctx, ctx_null, 2, 8, 8, gen)
     np.testing.assert_allclose(np.asarray(lat_b), np.asarray(lat_s),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_dpm_solver_in_pipeline():
+    cfg = wan_dit.tiny_test(remat=False)
+    params = wan_dit.init_params(cfg, jax.random.PRNGKey(0))
+    pipe = WanT2V(cfg, params)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.text_len, cfg.text_dim)) * 0.1
+    gen = GenerateConfig(sampling_steps=4, shift=3.0, sample_solver="dpm++")
+    lat = pipe.generate(jax.random.PRNGKey(2), ctx, jnp.zeros_like(ctx), 2, 8, 8, gen)
+    assert lat.shape == (1, 2, 8, 8, 16)
+    assert np.isfinite(np.asarray(lat)).all()
