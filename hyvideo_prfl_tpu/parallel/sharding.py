@@ -56,8 +56,9 @@ class ShardingPolicy:
     attn_heads_sp_tokens: P = P(DATA_AXIS, SP_AXIS, None, None)
     # [B, Lctx, D] text context: replicated over sp (short seq)
     context: P = P(DATA_AXIS, None, None)
-    # [B, F, H, W, C] video tensors: frames on sp
-    video: P = P(DATA_AXIS, SP_AXIS, None, None, None)
+    # [B, F, H, W, C] video tensors: W on sp (latent frame counts are 4n+1
+    # and rarely divisible by sp; W is stride-8-aligned and always divides)
+    video: P = P(DATA_AXIS, None, None, SP_AXIS, None)
     # [B, ...] per-sample scalars/vectors
     batch: P = P(DATA_AXIS)
     # use the explicit shard_map Ulysses path in self-attention (required to
