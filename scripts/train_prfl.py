@@ -231,7 +231,8 @@ def main(config, max_steps=None):
                     for fmt in ("transformer", "kohya", "diffusers"):
                         stnp.save_file(
                             lora_mod.lora_state_dict(
-                                jax.device_get(state.params), fmt),
+                                jax.device_get(state.params), fmt,
+                                head_dim=dit_cfg.head_dim),
                             os.path.join(out_dir, f"checkpoint-{step + 1}",
                                          f"lora_{fmt}.safetensors"))
                 else:

@@ -150,3 +150,21 @@ def test_patchify_roundtrip_token_order(tiny_t2v):
     )
     l = (f // 1) * (h // 2) * (w // 2)
     assert feats.shape == (1, b, l, cfg.dim)
+
+
+def test_rolled_rope_matches_pairwise():
+    """The roll-formulation rotation == the reference-parity apply_rope."""
+    from hyvideo_prfl_tpu.models.rope import (
+        apply_rope, apply_rope_rolled, rope_tables, rope_tables_rolled,
+    )
+    grid = (2, 4, 4)
+    cos, sin = rope_tables(grid, 128)
+    c_tab, s_tab = rope_tables_rolled(grid, 128)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 2, 128))
+    ref = apply_rope(x, cos, sin)  # half-layout pairwise math, fp32
+    out = apply_rope_rolled(x, c_tab, s_tab)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    # linearity: vjp == applying the sign-flipped rotation
+    g = jax.grad(lambda x: jnp.sum(apply_rope_rolled(x, c_tab, s_tab) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
