@@ -43,8 +43,10 @@ def dit_config_for_task(task: str, **kw) -> wan_dit.WanConfig:
     """Map a training-config task string (t2v-1.3b, i2v-14b-720p, ...) to a
     WanConfig (NAME_MAPPING semantics, train_prfl.py:86-93)."""
     t = task.lower()
-    if t.startswith("t2v-1.3b") or t.startswith("i2v-1.3b"):
+    if t.startswith("t2v-1.3b"):
         return wan_dit.t2v_1_3b(**kw)
+    if t.startswith("i2v-1.3b"):
+        return wan_dit.i2v_1_3b(**kw)
     if t.startswith("t2v-14b"):
         return wan_dit.t2v_14b(**kw)
     if t.startswith("i2v-14b"):

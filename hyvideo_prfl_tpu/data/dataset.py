@@ -74,6 +74,7 @@ class LatentCacheDataset:
         null_dir: Optional[str] = None,
         long_caption_prob: float = 0.7,
         is_i2v: bool = True,
+        is_flf2v: bool = False,
         seed: Optional[int] = None,
     ):
         self.dataset_type = dataset_type
@@ -83,6 +84,7 @@ class LatentCacheDataset:
         self.null_dir = null_dir or NULL_DIR
         self.long_caption_prob = long_caption_prob
         self.is_i2v = is_i2v
+        self.is_flf2v = is_flf2v
         self.rng = random.Random(seed)
 
         self.meta_paths: List[str] = []
@@ -98,16 +100,19 @@ class LatentCacheDataset:
         return len(self.meta_paths)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        if self.dataset_type not in ("refl", "lrm_ce", "lrm_bt_online"):
+            raise ValueError(f"unknown dataset_type {self.dataset_type}")
+        # retry a random other index on ANY per-sample failure (truncated
+        # npy, bad JSON, missing file...) — the reference catches bare
+        # Exception 100x (image2video_dataset.py:53-68)
         for _ in range(100):
             try:
                 if self.dataset_type == "refl":
                     return self.get_refl(idx)
                 if self.dataset_type == "lrm_ce":
                     return self.get_lrm_ce(idx)
-                if self.dataset_type == "lrm_bt_online":
-                    return self.get_lrm_bt_online(idx)
-                raise ValueError(f"unknown dataset_type {self.dataset_type}")
-            except FileNotFoundError as e:
+                return self.get_lrm_bt_online(idx)
+            except Exception as e:  # noqa: BLE001
                 idx = self.rng.randrange(len(self.meta_paths))
                 last = e
         raise RuntimeError(f"Too many bad data: {last}")
@@ -157,10 +162,14 @@ class LatentCacheDataset:
         text, prompt = self._text(d)
         if self.rng.random() < self.uncond_prompt_prob:
             text = self._null_text("null")
+        # flf2v tasks use their own uncond embedding file
+        # (image2video_dataset.py:115-118)
+        uncond_name = "uncond_flf2v" if self.is_flf2v else "uncond"
         out = {
             "latents": latents,
             "text": _pad_text(text, self.text_len),
-            "uncond_text": _pad_text(self._null_text("uncond"), self.text_len),
+            "uncond_text": _pad_text(self._null_text(uncond_name),
+                                     self.text_len),
             "prompt": prompt,
         }
         if self.is_i2v:

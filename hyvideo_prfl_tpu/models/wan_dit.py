@@ -94,6 +94,13 @@ def t2v_1_3b(**kw):
                      num_layers=30, **kw)
 
 
+def i2v_1_3b(**kw):
+    """1.3B-sized i2v variant (no released reference counterpart; used for
+    smoke/i2v tests at small scale with the full 36-channel conditioning)."""
+    return WanConfig(model_type="i2v", in_dim=36, dim=1536, ffn_dim=8960,
+                     num_heads=12, num_layers=30, **kw)
+
+
 def flf2v_14b(**kw):
     return WanConfig(model_type="flf2v", in_dim=36, dim=5120, ffn_dim=13824,
                      num_heads=40, num_layers=40, **kw)

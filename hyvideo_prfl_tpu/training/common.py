@@ -103,6 +103,55 @@ def apply_grads(state: TrainState, tx, grads) -> Tuple[TrainState, jnp.ndarray]:
     )
 
 
+def i2v_condition(cond, flf2v: bool = False):
+    """Concat the 4-channel conditioning mask onto 16-channel i2v latents.
+
+    Parity: reference before_train_step builds mask_lat_size = ones on
+    latent frame 0, zeros after, and cats it onto latents_condition when it
+    has 16 channels (train_prfl.py:537-542, train_pavrm.py:585-607). For
+    flf2v the last latent frame is also conditioned (the FLF2V pipeline's
+    first+last mask, first_last_frame2video.py msk construction).
+
+    cond: [B, F, H, W, 16] channel-last -> [B, F, H, W, 20].
+    Pass-through for None or already-20-channel conds (reference int(c)==16
+    check).
+    """
+    if cond is None:
+        return None
+    b, f, h, w, c = cond.shape
+    if c != 16:
+        return cond
+    frames = jnp.arange(f)
+    hit = frames == 0
+    if flf2v:
+        hit = hit | (frames == f - 1)
+    mask = jnp.broadcast_to(
+        hit[None, :, None, None, None].astype(cond.dtype), (b, f, h, w, 4)
+    )
+    return jnp.concatenate([mask, cond], axis=-1)
+
+
+def reshape_clip(clip, tokens: int = 257):
+    """[B, N*257, D] stacked CLIP embeds -> [B*N, 257, D] (the reference's
+    rearrange "b (n s) d -> (b n) s d", train_prfl.py:545-548; N=2 for
+    flf2v first+last frames, 1 otherwise)."""
+    if clip is None:
+        return None
+    b, n_s, d = clip.shape
+    n = n_s // tokens
+    return clip.reshape(b * n, tokens, d)
+
+
+def prepare_conditioning(batch, is_i2v: bool, flf2v: bool = False):
+    """(y, clip_fea) for the DiT from a raw dataset batch."""
+    if not is_i2v:
+        return None, None
+    return (
+        i2v_condition(batch.get("cond"), flf2v),
+        reshape_clip(batch.get("clip_fea")),
+    )
+
+
 def split_tree(tree: Dict, pred: Callable[[str], bool]) -> Tuple[Dict, Dict]:
     """Split a (flax) param dict at the top level by key predicate."""
     inner = tree["params"] if "params" in tree else tree

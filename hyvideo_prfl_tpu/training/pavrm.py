@@ -48,6 +48,14 @@ class PavrmConfig:
     num_train_timesteps: int = 1000
     task: str = "t2v"  # governs conditioning inputs
 
+    @property
+    def is_i2v(self) -> bool:
+        return "i2v" in self.task or "flf2v" in self.task
+
+    @property
+    def is_flf2v(self) -> bool:
+        return "flf2v" in self.task
+
 
 def trimmed_config(cfg: wan_dit.WanConfig, num_blocks: int) -> wan_dit.WanConfig:
     return dataclasses.replace(cfg, num_layers=num_blocks)
@@ -154,23 +162,30 @@ def make_train_step(model: PavrmModel, tx, schedule: fm.FlowMatchSchedule):
         dit_params = assemble_dit(trainable)
         qp = {"params": trainable["q_attn"]}
         mp = {"params": trainable["mlp"]}
+        # i2v/flf2v mask + CLIP reshape (train_pavrm.py:585-607)
+        clip_fea = (common.reshape_clip(batch.get("clip_fea"))
+                    if pc.is_i2v else None)
 
         def score(latents, y):
             noise = jax.random.normal(k_n, latents.shape, jnp.float32)
             noisy = fm.add_noise(latents, noise, sig5)
             return model.score(
                 dit_params, qp, mp, noisy, t, batch["text"],
-                y=y, clip_fea=batch.get("clip_fea"),
+                y=y, clip_fea=clip_fea,
             )
 
+        def cond_of(key):
+            return (common.i2v_condition(batch.get(key), pc.is_flf2v)
+                    if pc.is_i2v else None)
+
         if pc.loss == "ce":
-            logits = score(batch["latents"], batch.get("cond"))
+            logits = score(batch["latents"], cond_of("cond"))
             probs = rw.reward_sigmoid(logits)[:, 0]
             loss = rw.bce_loss(probs, batch["labels"].astype(jnp.float32))
             acc = jnp.mean(((probs > 0.5) == (batch["labels"] > 0.5)))
         else:  # bt
-            r_win = score(batch["latents"], batch.get("cond"))
-            r_lose = score(batch["latents_lose"], batch.get("cond_lose"))
+            r_win = score(batch["latents"], cond_of("cond"))
+            r_lose = score(batch["latents_lose"], cond_of("cond_lose"))
             probs = rw.siamese_prob(r_win, r_lose)[:, 0]
             loss = rw.bce_loss(probs, jnp.ones_like(probs))
             acc = jnp.mean((probs > 0.5).astype(jnp.float32))
@@ -215,9 +230,12 @@ def make_eval_step(model: PavrmModel):
         sigma = t_value / pc.num_train_timesteps
         noise = jax.random.normal(jax.random.PRNGKey(seed), batch["latents"].shape)
         noisy = fm.add_noise(batch["latents"], noise, sigma)
+        y, clip_fea = common.prepare_conditioning(
+            batch, pc.is_i2v, pc.is_flf2v
+        )
         logits = model.score(
             dit_params, qp, mp, noisy, t, batch["text"],
-            y=batch.get("cond"), clip_fea=batch.get("clip_fea"),
+            y=y, clip_fea=clip_fea,
         )
         return rw.reward_sigmoid(logits)[:, 0]
 

@@ -50,6 +50,7 @@ class PrflConfig:
     logit_mean: float = 0.0
     logit_std: float = 1.0
     is_i2v: bool = False
+    is_flf2v: bool = False
     # pin the mid timestep (benchmarking/debugging); None = random per step
     fixed_mid: Optional[int] = None
 
@@ -99,8 +100,11 @@ def make_refl_step(model: PrflModel, tx, lora_mode: bool = False,
         else:
             mid = jax.random.randint(k_mid, (), 0, cfg.inference_steps - 1)
 
-        y = batch.get("cond") if cfg.is_i2v else None
-        clip_fea = batch.get("clip_fea") if cfg.is_i2v else None
+        # i2v/flf2v: 4-channel mask + condition latents, CLIP reshape
+        # (train_prfl.py:537-548)
+        y, clip_fea = common.prepare_conditioning(
+            batch, cfg.is_i2v, cfg.is_flf2v
+        )
 
         def velocity(x, t):
             out = model.dit.apply(
@@ -186,8 +190,9 @@ def make_sft_step(model: PrflModel, tx, schedule: fm.FlowMatchSchedule,
         noise = jax.random.normal(k_n, batch["latents"].shape, jnp.float32)
         noisy = fm.add_noise(batch["latents"], noise, sig5)
         target = fm.train_target(batch["latents"], noise)
-        y = batch.get("cond") if cfg.is_i2v else None
-        clip_fea = batch.get("clip_fea") if cfg.is_i2v else None
+        y, clip_fea = common.prepare_conditioning(
+            batch, cfg.is_i2v, cfg.is_flf2v
+        )
         v = model.dit.apply(params, noisy, t, batch["text"], y=y,
                             clip_fea=clip_fea)
         w = fm.loss_weighting(sig5)

@@ -106,6 +106,7 @@ def main(config, max_steps=None):
         label_key=config.lrm.task,
         null_dir=config.dataset.null_dir,
         is_i2v=is_i2v,
+        is_flf2v="flf2v" in config.task,
         seed=config.train.seed,
     )
     sampler = BlockDistributedSampler(len(dataset), 1, 0)

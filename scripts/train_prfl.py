@@ -68,6 +68,7 @@ def main(config, max_steps=None):
         logit_mean=config.extra_model.scheduler.logit_mean,
         logit_std=config.extra_model.scheduler.logit_std,
         is_i2v=is_i2v,
+        is_flf2v="flf2v" in config.task,
     )
     policy = shd.ShardingPolicy() if mesh.devices.size > 1 else None
     model = PrflModel(dit_cfg, pc, prfl_cfg, policy)
@@ -137,6 +138,7 @@ def main(config, max_steps=None):
         uncond_prob=list(config.dataset.uncond_prob),
         text_len=config.extra_model.get_path("text_encoder.t5_text_len", 512),
         is_i2v=is_i2v,
+        is_flf2v="flf2v" in config.task,
         null_dir=config.dataset.null_dir,
         seed=config.train.seed,
     )

@@ -168,6 +168,105 @@ def test_grad_accumulation_only_updates_every_k():
     assert np.abs(p2 - p1).max() > 0  # applied at k=2
 
 
+def test_i2v_condition_mask():
+    """4-channel mask concat (train_prfl.py:537-542): ones on latent frame 0
+    (+ last frame for flf2v), zeros elsewhere; 20-channel pass-through."""
+    cond = jnp.ones((2, 5, 4, 4, 16))
+    y = common.i2v_condition(cond)
+    assert y.shape == (2, 5, 4, 4, 20)
+    np.testing.assert_array_equal(np.asarray(y[:, 0, :, :, :4]), 1.0)
+    np.testing.assert_array_equal(np.asarray(y[:, 1:, :, :, :4]), 0.0)
+    np.testing.assert_array_equal(np.asarray(y[..., 4:]), np.asarray(cond))
+    y2 = common.i2v_condition(cond, flf2v=True)
+    np.testing.assert_array_equal(np.asarray(y2[:, -1, :, :, :4]), 1.0)
+    np.testing.assert_array_equal(np.asarray(y2[:, 1:-1, :, :, :4]), 0.0)
+    # already-20-channel cond passes through (reference int(c)==16 check)
+    assert common.i2v_condition(y) is y
+    assert common.i2v_condition(None) is None
+    # flf2v CLIP stacking: [B, 514, D] -> [2B, 257, D]
+    clip = jnp.arange(2 * 514 * 3, dtype=jnp.float32).reshape(2, 514, 3)
+    r = common.reshape_clip(clip)
+    assert r.shape == (4, 257, 3)
+    np.testing.assert_array_equal(np.asarray(r[1]), np.asarray(clip[0, 257:]))
+
+
+def _i2v_batch(key, b=1, f=4, h=8, w=8, cfg=None):
+    """Dataset-shaped i2v batch: 16-channel f1_black cond + raw CLIP embeds
+    (the exact shapes LatentCacheDataset emits)."""
+    ks = jax.random.split(jax.random.PRNGKey(key), 4)
+    return {
+        "latents": jax.random.normal(ks[0], (b, f, h, w, 16)),
+        "text": jax.random.normal(ks[1], (b, cfg.text_len, cfg.text_dim)) * 0.1,
+        "cond": jax.random.normal(ks[2], (b, f, h, w, 16)) * 0.5,
+        "clip_fea": jax.random.normal(ks[3], (b, 257, 1280)) * 0.1,
+    }
+
+
+def test_prfl_refl_step_i2v():
+    """The flagship i2v PRFL step trains end-to-end from dataset-shaped
+    conditioning (16-ch cond -> 20-ch mask+cond -> in_dim 36 DiT)."""
+    dit_cfg = _tiny_dit(model_type="i2v", in_dim=36)
+    pc = PavrmConfig(loss="ce", feature_layer=(2,), task="i2v-1.3b")
+    prfl_cfg = PrflConfig(inference_steps=4, flow_shift=3.0, is_i2v=True)
+    model = PrflModel(dit_cfg, pc, prfl_cfg)
+    policy_params = wan_dit.init_params(dit_cfg, jax.random.PRNGKey(0))
+    lrm_trainable, lrm_frozen = model.lrm.init_all(jax.random.PRNGKey(1))
+    lrm_tower = {
+        "dit": common.merge_tree(
+            {"params": {"blocks": lrm_trainable["blocks"]}}, lrm_frozen),
+        "q": {"params": lrm_trainable["q_attn"]},
+        "m": {"params": lrm_trainable["mlp"]},
+    }
+    tx = common.make_optimizer(learning_rate=1e-4)
+    state = common.init_train_state(policy_params, tx)
+    refl = jax.jit(make_refl_step(model, tx))
+    sft = jax.jit(make_sft_step(model, tx, fm.train_schedule(1000)))
+    batch = _i2v_batch(11, cfg=dit_cfg)
+    state, m = refl(state, batch, jax.random.PRNGKey(2), lrm_tower)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["grad_norm"]) > 0
+    state, m2 = sft(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(m2["loss"]))
+
+
+def test_pavrm_ce_step_i2v():
+    dit_cfg = _tiny_dit(model_type="i2v", in_dim=36)
+    pc = PavrmConfig(loss="ce", feature_layer=(2,), trainable_blocks=(0, 1),
+                     task="i2v-14b-720p")
+    assert pc.is_i2v and not pc.is_flf2v
+    model = PavrmModel(dit_cfg, pc)
+    trainable, frozen = model.init_all(jax.random.PRNGKey(0))
+    tx = common.make_optimizer(learning_rate=1e-3)
+    state = common.init_train_state(trainable, tx)
+    step = jax.jit(make_train_step(model, tx, fm.train_schedule(1000)))
+    batch = _i2v_batch(12, b=2, cfg=dit_cfg)
+    batch["labels"] = jnp.asarray([1.0, 0.0])
+    state, m = step(state, batch, jax.random.PRNGKey(1), frozen)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["grad_norm"]) > 0
+
+
+def test_pavrm_bt_step_flf2v():
+    """flf2v: first+last-frame mask, stacked 514-token CLIP context."""
+    dit_cfg = _tiny_dit(model_type="flf2v", in_dim=36)
+    pc = PavrmConfig(loss="bt", feature_layer=(2,), task="flf2v-14b-720p")
+    assert pc.is_flf2v
+    model = PavrmModel(dit_cfg, pc)
+    trainable, frozen = model.init_all(jax.random.PRNGKey(0))
+    tx = common.make_optimizer(learning_rate=1e-3)
+    state = common.init_train_state(trainable, tx)
+    step = jax.jit(make_train_step(model, tx, fm.train_schedule(1000)))
+    batch = _i2v_batch(13, b=1, cfg=dit_cfg)
+    # flf2v CLIP embeds arrive stacked [B, 2*257, 1280]
+    batch["clip_fea"] = jnp.concatenate(
+        [batch["clip_fea"], batch["clip_fea"]], axis=1)
+    batch["latents_lose"] = jax.random.normal(
+        jax.random.PRNGKey(9), batch["latents"].shape)
+    batch["cond_lose"] = batch["cond"] * 0.3
+    state, m = step(state, batch, jax.random.PRNGKey(1), frozen)
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_classification_metrics():
     probs = np.asarray([0.9, 0.8, 0.3, 0.1])
     labels = np.asarray([1, 0, 1, 0])
