@@ -111,6 +111,66 @@ def test_lora_export_formats():
     assert float(kohya["lora_unet_blocks_0_self_attn_q.alpha"]) == 4.0
 
 
+def test_lora_export_roundtrip_and_merged_weight_parity():
+    """Exported LoRA is numerically valid reference-side: the un-permuted
+    q/k B factors reproduce the merged-weight delta in the reference layout
+    (model_utils.py:17-67), and every format re-imports to the same tree."""
+    from hyvideo_prfl_tpu.utils import checkpoint as ck
+
+    cfg = wan_dit.tiny_test(remat=False)
+    params = wan_dit.init_params(cfg, jax.random.PRNGKey(0))
+    lora = lora_mod.lora_init(jax.random.PRNGKey(1), params, rank=4)
+    # randomize B so the delta is nonzero
+    lora = jax.tree.map(
+        lambda a: jax.random.normal(jax.random.PRNGKey(7), a.shape) * 0.1,
+        lora)
+
+    merged = lora_mod.apply_lora(params, lora, scale=1.0)
+    t_base = ck.flax_to_torch_state(params, cfg)
+    t_merged = ck.flax_to_torch_state(merged, cfg)
+    sd = lora_mod.lora_state_dict(lora, "transformer", head_dim=cfg.head_dim)
+
+    for i in range(cfg.num_layers):
+        for attn in ("self_attn", "cross_attn"):
+            for m in ("q", "k", "v", "o"):
+                key = f"blocks.{i}.{attn}.{m}"
+                a = sd[f"{key}.lora_A.weight"]  # [r, in]
+                b = sd[f"{key}.lora_B.weight"]  # [out, r]
+                delta = (t_merged[f"{key}.weight"]
+                         - t_base[f"{key}.weight"])  # [out, in]
+                np.testing.assert_allclose(delta, b @ a, atol=1e-5,
+                                           err_msg=key)
+
+    # every export format re-imports to the identical tree
+    for fmt in ("transformer", "kohya", "diffusers"):
+        sd_f = lora_mod.lora_state_dict(lora, fmt, head_dim=cfg.head_dim)
+        back = lora_mod.lora_from_state_dict(sd_f, head_dim=cfg.head_dim)
+        jax.tree.map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=1e-6),
+            lora, back)
+
+
+def test_train_prfl_lora_save_path(tmp_path):
+    """The use_lora CLI path runs its save_interval export without error
+    (the reference peft save, train_prfl.py:320-333 + model_utils.py:38-67)."""
+    import sys
+    sys.path.insert(0, "scripts")
+    from scripts.train_prfl import main as prfl_main
+    from hyvideo_prfl_tpu.configs import load_config
+
+    cfg = load_config("configs/smoke_prfl.yaml")
+    cfg["save"]["output_dir"] = str(tmp_path)
+    cfg["model"]["lora"]["use_lora"] = True
+    cfg["model"]["lora"]["lora_rank"] = 4
+    cfg["train"]["save_interval"] = 2
+    state = prfl_main(cfg, max_steps=2)
+    ckpt_dir = tmp_path / "smoke_prfl" / "checkpoint-2"
+    for fmt in ("transformer", "kohya", "diffusers"):
+        assert (ckpt_dir / f"lora_{fmt}.safetensors").exists()
+    assert "lora" in state.params
+
+
 def test_ema_update_moves_toward_params():
     p = {"w": jnp.zeros((4,))}
     e = ema_mod.ema_init(p)
