@@ -36,17 +36,15 @@ def get_default_backend() -> str:
 def _resolve_auto(q, k, in_shard_map: bool = False) -> str:
     """auto: Pallas flash on TPU for long self-attention-sized sequences
     (where XLA would materialize the [Lq, Lk] logits in HBM); XLA einsum
-    otherwise (short cross-attention, CPU tests)."""
+    otherwise (short cross-attention, CPU tests). Multi-device pjit programs
+    get the custom_partitioning wrapper (ops/flash_sharded.py), so flash
+    engages under GSPMD/Shardy too."""
     import jax
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     d_ok = q.shape[-1] % 128 == 0
     long_seq = k.shape[1] >= 1024
-    # GSPMD cannot partition an opaque pallas call, so auto-flash engages
-    # only single-device — or inside shard_map, where the kernel is already
-    # per-device (ulysses_attention)
-    single = jax.device_count() == 1 or in_shard_map
-    return "flash" if (on_tpu and d_ok and long_seq and single) else "xla"
+    return "flash" if (on_tpu and d_ok and long_seq) else "xla"
 
 
 def dot_product_attention(
@@ -66,6 +64,12 @@ def dot_product_attention(
     if backend == "auto":
         backend = _resolve_auto(q, k)
     if backend == "flash":
+        if jax.device_count() > 1:
+            # partitionable wrapper: GSPMD/Shardy shards (batch, heads) and
+            # inserts the Ulysses all_to_all around the per-device kernel
+            from .flash_sharded import flash_attention_sharded
+
+            return flash_attention_sharded(q, k, v, k_valid_len=k_valid_len)
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, k_valid_len=k_valid_len)
@@ -108,7 +112,14 @@ def ulysses_attention(
         be = backend or _DEFAULT_BACKEND
         if be == "auto":
             be = _resolve_auto(qh, kh, in_shard_map=True)
-        o = dot_product_attention(qh, kh, vh, backend=be)
+        if be == "flash":
+            # inside shard_map the kernel is already per-device: call the
+            # plain kernel, never the custom_partitioning wrapper
+            from .flash_attention import flash_attention
+
+            o = flash_attention(qh, kh, vh)
+        else:
+            o = _xla_attention(qh, kh, vh, None)
         # inverse: scatter seq, gather heads
         return jax.lax.all_to_all(
             o, sp_axis, split_axis=1, concat_axis=2, tiled=True)

@@ -40,8 +40,16 @@ FULL_K_MAX = 3584
 NEG_INF = -1e30
 
 
+def _interpret() -> bool:
+    """Pallas interpret mode on CPU backends (tests / virtual meshes):
+    the kernel runs as plain XLA ops, numerically identical."""
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
 def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                acc_ref, m_ref, l_ref, *, block_k, scale, n_k):
+                acc_ref, m_ref, l_ref, *, block_k, scale, n_k, masked):
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -50,15 +58,18 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0]  # [BQ, D]
+    # fold the softmax scale into the [BQ, D] q block (25x fewer elements
+    # than scaling the [BQ, BK] score matrix on the VPU)
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # [BQ, D]
     k = k_ref[0]  # [BK, D]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [BQ, BK]
+    )  # [BQ, BK]
 
-    valid = len_ref[pl.program_id(0)]
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_idx * block_k
-    s = jnp.where(col < valid, s, NEG_INF)
+    if masked:  # static: skipped entirely for full-length unpadded keys
+        valid = len_ref[pl.program_id(0)]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_idx * block_k
+        s = jnp.where(col < valid, s, NEG_INF)
 
     m_prev = m_ref[:]  # [BQ, 128] (broadcast lanes)
     m_cur = jnp.max(s, axis=1, keepdims=True)  # [BQ, 1]
@@ -81,30 +92,60 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0] = (m_ref[:] + jnp.log(jnp.maximum(l_ref[:], 1e-30)))
 
 
+def _fwd_kernel_single(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                       *, block_k, scale, masked):
+    """Single-k-block forward (the full-K fast path): plain softmax, no
+    online-update scratch or rescale chain."""
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BQ, BK]
+    if masked:
+        valid = len_ref[pl.program_id(0)]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < valid, s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)  # [BQ, 1]
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    acc = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse = m + jnp.log(jnp.maximum(l, 1e-30))
+    lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
 def _dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-               dq_ref, dq_acc, *, block_k, scale, n_k):
+               dq_ref, dq_acc, *, block_k, scale, n_k, masked):
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    q = q_ref[0]
+    # scale folds into the [*, D] operands: q for the score matmul, k for
+    # the dq matmul — two small scalings replace two [BQ, BK] VPU passes
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    valid = len_ref[pl.program_id(0)]
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_idx * block_k
-    s = jnp.where(col < valid, s, NEG_INF)
+    )
+    if masked:
+        valid = len_ref[pl.program_id(0)]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_idx * block_k
+        s = jnp.where(col < valid, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0][:, :1])  # [BQ, BK]
     dp = jax.lax.dot_general(
         do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - delta_ref[0][:, :1]) * scale
+    ds = p * (dp - delta_ref[0][:, :1])
+    k_s = (k.astype(jnp.float32) * scale).astype(k.dtype)
     dq_acc[:] += jax.lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        ds.astype(k.dtype), k_s, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -114,7 +155,8 @@ def _dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, dk_acc, dv_acc, *, block_k, scale, n_q):
+                dk_ref, dv_ref, dk_acc, dv_acc, *, block_k, scale, n_q,
+                masked):
     q_idx = pl.program_id(2)
 
     @pl.when(q_idx == 0)
@@ -122,15 +164,17 @@ def _dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0]  # [BQ, D]
+    # q*scale serves both the score matmul and the dk matmul
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # [BQ, D]
     k = k_ref[0]  # [BK, D]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    valid = len_ref[pl.program_id(0)]
-    k_base = pl.program_id(1) * block_k
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_base
-    s = jnp.where(col < valid, s, NEG_INF)
+    )
+    if masked:
+        valid = len_ref[pl.program_id(0)]
+        k_base = pl.program_id(1) * block_k
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_base
+        s = jnp.where(col < valid, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0][:, :1])  # [BQ, BK]
     # dv += P^T dO
     dv_acc[:] += jax.lax.dot_general(
@@ -141,7 +185,7 @@ def _dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - delta_ref[0][:, :1]) * scale  # [BQ, BK]
+    ds = p * (dp - delta_ref[0][:, :1])  # [BQ, BK]
     dk_acc[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -158,21 +202,24 @@ def _pad_len(l, b):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6)
 )
-def _flash(q, k, v, valid, block_q, block_k):
-    o, _ = _flash_fwd_impl(q, k, v, valid, block_q, block_k)
+def _flash(q, k, v, valid, block_q, block_k, masked=True):
+    o, _ = _flash_fwd_impl(q, k, v, valid, block_q, block_k, masked)
     return o
 
 
-def _flash_fwd_impl(q, k, v, valid, block_q, block_k):
+def _flash_fwd_impl(q, k, v, valid, block_q, block_k, masked=True):
     bn, lq, d = q.shape
     lk = k.shape[1]
     n_q = lq // block_q
     n_k = lk // block_k
     scale = 1.0 / (d ** 0.5)
+    if n_k == 1:
+        return _flash_fwd_single(q, k, v, valid, block_q, block_k, scale,
+                                 masked)
     kernel = functools.partial(
-        _fwd_kernel, block_k=block_k, scale=scale, n_k=n_k
+        _fwd_kernel, block_k=block_k, scale=scale, n_k=n_k, masked=masked
     )
     grid = (bn, n_q, n_k)
     o, lse = pl.pallas_call(
@@ -201,16 +248,49 @@ def _flash_fwd_impl(q, k, v, valid, block_q, block_k):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
     )(valid, q, k, v)
     return o, lse
 
 
-def _flash_fwd(q, k, v, valid, block_q, block_k):
-    o, lse = _flash_fwd_impl(q, k, v, valid, block_q, block_k)
+def _flash_fwd_single(q, k, v, valid, block_q, block_k, scale, masked):
+    """Scratch-free forward for the full-K (single k block) case."""
+    bn, lq, d = q.shape
+    kernel = functools.partial(
+        _fwd_kernel_single, block_k=block_k, scale=scale, masked=masked
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bn, lq // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, s_: (b, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, s_: (b, 0, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, s_: (b, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, s_: (b, i, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda b, i, s_: (b, i, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bn, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((bn, lq, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=_interpret(),
+    )(valid, q, k, v)
+    return o, lse
+
+
+def _flash_fwd(q, k, v, valid, block_q, block_k, masked=True):
+    o, lse = _flash_fwd_impl(q, k, v, valid, block_q, block_k, masked)
     return o, (q, k, v, valid, o, lse)
 
 
-def _flash_bwd(block_q, block_k, res, do):
+def _flash_bwd(block_q, block_k, masked, res, do):
     q, k, v, valid, o, lse = res
     bn, lq, d = q.shape
     lk = k.shape[1]
@@ -223,7 +303,8 @@ def _flash_bwd(block_q, block_k, res, do):
     delta = jnp.broadcast_to(delta, (bn, lq, 128))
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, block_k=block_k, scale=scale, n_k=n_k),
+        functools.partial(_dq_kernel, block_k=block_k, scale=scale, n_k=n_k,
+                          masked=masked),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bn, n_q, n_k),
@@ -241,10 +322,12 @@ def _flash_bwd(block_q, block_k, res, do):
         out_shape=jax.ShapeDtypeStruct((bn, lq, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
     )(valid, q, k, v, do, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, block_k=block_k, scale=scale, n_q=n_q),
+        functools.partial(_dkv_kernel, block_k=block_k, scale=scale, n_q=n_q,
+                          masked=masked),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bn, n_k, n_q),
@@ -271,6 +354,7 @@ def _flash_bwd(block_q, block_k, res, do):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
     )(valid, q, k, v, do, lse, delta)
     return dq, dk, dv, None
 
@@ -319,6 +403,9 @@ def flash_attention(
         valid = k_valid_len.astype(jnp.int32)
     valid = jnp.repeat(valid, n)  # [B*N] scalar-prefetch vector
 
-    o = _flash(qb, kb, vb, valid, block_q, block_k)
+    # skip the in-kernel mask entirely when every key is valid (no user
+    # mask, no k padding) — saves ~3 VPU passes over [BQ, BK] per cell
+    masked = (k_valid_len is not None) or (lk_p != lk)
+    o = _flash(qb, kb, vb, valid, block_q, block_k, masked)
     o = o[:, :lq].reshape(b, n, lq, d)
     return jnp.moveaxis(o, 1, 2)
