@@ -31,6 +31,14 @@ MAX_AREA_CONFIGS = {
     "832*480": 832 * 480,
 }
 
+# default negative prompt for CFG sampling (shared_config.py:19 — an interop
+# constant; generations match the reference only with the same uncond text)
+SAMPLE_NEG_PROMPT = (
+    "色调艳丽，过曝，静态，细节模糊不清，字幕，风格，作品，画作，画面，静止，整体发灰，最差质量，"
+    "低质量，JPEG压缩残留，丑陋的，残缺的，多余的手指，画得不好的手部，画得不好的脸部，畸形的，"
+    "毁容的，形态畸形的肢体，手指融合，静止不动的画面，杂乱的背景，三条腿，背景人很多，倒着走"
+)
+
 SUPPORTED_SIZES = {
     "t2v-14B": ("720*1280", "1280*720", "480*832", "832*480"),
     "t2v-1.3B": ("480*832", "832*480"),

@@ -184,7 +184,16 @@ class SelfAttention(nn.Module):
         v = v.reshape(b, l, n, d)
         q = apply_rope_rolled(q, cos, sin)  # stays in compute dtype
         k = apply_rope_rolled(k, cos, sin)
-        if policy is not None and policy.shard_map_ulysses:
+        if policy is not None and policy.usp:
+            # USP inference: ring x ulysses shard_map attention
+            # (inference_prfl.py:71-82 topology)
+            from ..ops.ring_attention import usp_attention
+
+            q = constrain(q, policy, "attn_heads_sp_tokens")
+            k = constrain(k, policy, "attn_heads_sp_tokens")
+            v = constrain(v, policy, "attn_heads_sp_tokens")
+            out = usp_attention(q, k, v)
+        elif policy is not None and policy.shard_map_ulysses:
             # explicit all_to_all Ulysses; pallas flash runs per device
             from ..ops.attention import ulysses_attention
 
@@ -406,9 +415,11 @@ class WanModel(nn.Module):
         e = _dense("time_0", cfg.dim, jnp.float32, init="normal02")(e)
         e = nn.silu(e)
         e = _dense("time_2", cfg.dim, jnp.float32, init="normal02")(e)
+        e = constrain(e, policy, "time_embed")
         e0 = nn.silu(e)
         e0 = _dense("time_proj", cfg.dim * 6, jnp.float32)(e0)
         e0 = e0.reshape(b, 6, cfg.dim)
+        e0 = constrain(e0, policy, "time_mod")
 
         # --- text embedding ---
         ctx = _dense("text_0", cfg.dim, cd, init="normal02")(context.astype(cd))

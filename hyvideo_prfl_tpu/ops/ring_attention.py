@@ -55,7 +55,7 @@ def _block_attention_with_lse(q, k, v):
         valid = jnp.full((b * n,), lk, jnp.int32)
         o, lse = fa._flash_fwd_impl(
             bnld(q, lq_p), bnld(k, lk_p), bnld(v, lk_p), valid,
-            block_q, block_k,
+            block_q, block_k, masked=(lk_p != lk),
         )
         o = jnp.moveaxis(o[:, :lq].reshape(b, n, lq, d), 1, 2)
         lse = lse[:, :lq, 0].reshape(b, n, lq).transpose(0, 2, 1)
@@ -71,6 +71,36 @@ def _block_attention_with_lse(q, k, v):
                    preferred_element_type=jnp.float32)
     lse = (m + jnp.log(l))[:, :, :, 0].transpose(0, 2, 1)  # [B, Lq, N]
     return o.astype(jnp.float32), lse
+
+
+def _ring_inner(q, k, v, ring_axis: str):
+    """Per-device ring attention body (call inside shard_map): queries stay
+    local, K/V blocks rotate around `ring_axis` via ppermute with an
+    online-softmax merge."""
+    n_ring = jax.lax.axis_size(ring_axis)
+    perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
+
+    o0, lse0 = _block_attention_with_lse(q, k, v)
+
+    def body(carry, _):
+        k_blk, v_blk, o_acc, lse_acc = carry
+        # rotate K/V to the next device over ICI
+        k_blk = jax.lax.ppermute(k_blk, ring_axis, perm)
+        v_blk = jax.lax.ppermute(v_blk, ring_axis, perm)
+        o_blk, lse_blk = _block_attention_with_lse(q, k_blk, v_blk)
+        # online-softmax merge of two normalized partials
+        m = jnp.maximum(lse_acc, lse_blk)
+        w_acc = jnp.exp(lse_acc - m)[..., None]  # [B, Lq, N, 1]
+        w_blk = jnp.exp(lse_blk - m)[..., None]
+        denom = w_acc + w_blk
+        o_acc = (o_acc * w_acc + o_blk * w_blk) / denom
+        lse_acc = m + jnp.log(denom[..., 0])
+        return (k_blk, v_blk, o_acc, lse_acc), None
+
+    (k_f, v_f, o, lse), _ = jax.lax.scan(
+        body, (k, v, o0, lse0), None, length=n_ring - 1
+    )
+    return o.astype(q.dtype)
 
 
 def ring_attention(
@@ -89,30 +119,43 @@ def ring_attention(
     spec = P(data_axis, sp_axis, None, None)
 
     def inner(q, k, v):
-        n_ring = jax.lax.axis_size(sp_axis)
-        perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
+        return _ring_inner(q, k, v, sp_axis)
 
-        o0, lse0 = _block_attention_with_lse(q, k, v)
+    return jax.shard_map(
+        inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+    )(q, k, v)
 
-        def body(carry, _):
-            k_blk, v_blk, o_acc, lse_acc = carry
-            # rotate K/V to the next device over ICI
-            k_blk = jax.lax.ppermute(k_blk, sp_axis, perm)
-            v_blk = jax.lax.ppermute(v_blk, sp_axis, perm)
-            o_blk, lse_blk = _block_attention_with_lse(q, k_blk, v_blk)
-            # online-softmax merge of two normalized partials
-            m = jnp.maximum(lse_acc, lse_blk)
-            w_acc = jnp.exp(lse_acc - m)[..., None]  # [B, Lq, N, 1]
-            w_blk = jnp.exp(lse_blk - m)[..., None]
-            denom = w_acc + w_blk
-            o_acc = (o_acc * w_acc + o_blk * w_blk) / denom
-            lse_acc = m + jnp.log(denom[..., 0])
-            return (k_blk, v_blk, o_acc, lse_acc), None
 
-        (k_f, v_f, o, lse), _ = jax.lax.scan(
-            body, (k, v, o0, lse0), None, length=n_ring - 1
-        )
-        return o.astype(q.dtype)
+def usp_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    ring_axis: str = "ring",
+    ulysses_axis: str = "sp",
+    data_axis: str = "data",
+):
+    """USP = ring x Ulysses hybrid attention (xfuser's
+    `initialize_model_parallel(ring_degree, ulysses_degree)` topology,
+    inference_prfl.py:71-82 + xdit_context_parallel.py:190-233).
+
+    Tokens arrive sharded over BOTH axes (P(data, (ring, sp))). Inside the
+    shard_map: an all_to_all over the ulysses axis scatters heads / gathers
+    the ring-local sequence, ring attention rotates K/V blocks over the ring
+    axis, and the inverse all_to_all restores token sharding. Head count
+    must be divisible by the ulysses degree; sequence by ring x ulysses.
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    spec = P(data_axis, (ring_axis, ulysses_axis), None, None)
+
+    def inner(q, k, v):
+        def a2a_heads(x):  # [B, L/(r*u), N, D] -> [B, L/r, N/u, D]
+            return jax.lax.all_to_all(
+                x, ulysses_axis, split_axis=2, concat_axis=1, tiled=True)
+
+        qh, kh, vh = a2a_heads(q), a2a_heads(k), a2a_heads(v)
+        o = _ring_inner(qh, kh, vh, ring_axis)
+        return jax.lax.all_to_all(
+            o, ulysses_axis, split_axis=1, concat_axis=2, tiled=True)
 
     return jax.shard_map(
         inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,

@@ -24,6 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 SP_AXIS = "sp"
+RING_AXIS = "ring"
 
 
 def make_mesh(
@@ -38,6 +39,24 @@ def make_mesh(
     )
     arr = np.asarray(devices).reshape(data, sp)
     return Mesh(arr, (DATA_AXIS, SP_AXIS))
+
+
+def make_usp_mesh(
+    data: int = 1,
+    ring: int = 1,
+    ulysses: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """("data", "ring", "sp") mesh for USP inference — the xfuser
+    `initialize_model_parallel(ring_degree, ulysses_degree)` topology
+    (inference_prfl.py:71-82). ring varies slower so K/V rotation stays on
+    adjacent ICI neighbors."""
+    devices = list(devices if devices is not None else jax.devices())
+    assert data * ring * ulysses == len(devices), (
+        f"mesh {data}x{ring}x{ulysses} != {len(devices)} devices"
+    )
+    arr = np.asarray(devices).reshape(data, ring, ulysses)
+    return Mesh(arr, (DATA_AXIS, RING_AXIS, SP_AXIS))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,15 +75,37 @@ class ShardingPolicy:
     attn_heads_sp_tokens: P = P(DATA_AXIS, SP_AXIS, None, None)
     # [B, Lctx, D] text context: replicated over sp (short seq)
     context: P = P(DATA_AXIS, None, None)
+    # [B, dim] / [B, 6, dim] fp32 time embeddings: replicated over sp.
+    # Without this the FSDP-sharded time_2/time_proj kernels leave e sharded
+    # on its feature dim, and the head's broadcast forces an involuntary
+    # full rematerialization each step (SPMD warning in the 8-dev dryrun).
+    time_embed: P = P(DATA_AXIS, None)
+    time_mod: P = P(DATA_AXIS, None, None)
     # [B, F, H, W, C] video tensors: W on sp (latent frame counts are 4n+1
     # and rarely divisible by sp; W is stride-8-aligned and always divides)
     video: P = P(DATA_AXIS, None, None, SP_AXIS, None)
     # [B, ...] per-sample scalars/vectors
     batch: P = P(DATA_AXIS)
-    # use the explicit shard_map Ulysses path in self-attention (required to
-    # run the Pallas flash kernel per-device on a multi-chip mesh; GSPMD
-    # cannot partition an opaque pallas_call). False = GSPMD constraints.
+    # use the explicit shard_map Ulysses path in self-attention instead of
+    # GSPMD constraints (both engage the Pallas flash kernel on TPU — GSPMD
+    # via the custom_partitioning wrapper, ops/flash_sharded.py)
     shard_map_ulysses: bool = False
+    # USP inference: self-attention via ring x ulysses shard_map
+    # (ops/ring_attention.usp_attention); tokens sharded over both axes
+    usp: bool = False
+
+
+def usp_policy() -> ShardingPolicy:
+    """Policy for a ("data", "ring", "sp") USP mesh: sequence dims shard
+    over ring x ulysses jointly."""
+    seq = (RING_AXIS, SP_AXIS)
+    return ShardingPolicy(
+        tokens=P(DATA_AXIS, seq, None),
+        attn_heads=P(DATA_AXIS, None, SP_AXIS, None),
+        attn_heads_sp_tokens=P(DATA_AXIS, seq, None, None),
+        video=P(DATA_AXIS, None, None, seq, None),
+        usp=True,
+    )
 
 
 def constrain(x, policy: Optional[ShardingPolicy], spec_name: str):

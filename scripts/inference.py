@@ -40,6 +40,15 @@ def args_init():
     p.add_argument("--size", default="480*832")
     p.add_argument("--frame_num", type=int, default=81)
     p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--prompt", default=None,
+                   help="raw text prompt (requires --t5_params)")
+    p.add_argument("--negative_prompt", default=None,
+                   help="defaults to the reference sample_neg_prompt "
+                        "(shared_config.py:19)")
+    p.add_argument("--t5_params", default=None,
+                   help="converted umT5-XXL orbax weights for in-pipeline "
+                        "text encoding")
+    p.add_argument("--tokenizer", default="google/umt5-xxl")
     p.add_argument("--prompt_embeds", default=None,
                    help=".npy [1, L, 4096] cached T5 embedding")
     p.add_argument("--uncond_embeds", default=None)
@@ -54,6 +63,9 @@ def args_init():
     p.add_argument("--teacache_thresh", type=float, default=None,
                    help="enable TeaCache step skipping (arguments.py:170-174)")
     p.add_argument("--ulysses_size", type=int, default=1)
+    p.add_argument("--ring_size", type=int, default=1,
+                   help="ring attention degree; ring*ulysses devices form "
+                        "the USP sequence mesh (inference_prfl.py:71-82)")
     p.add_argument("--save_file", default="out.mp4")
     p.add_argument("--vae_params", default=None)
     args = p.parse_args()
@@ -78,9 +90,16 @@ def main():
 
     n_dev = len(jax.devices())
     sp = min(args.ulysses_size, n_dev)
-    mesh = shd.make_mesh(data=n_dev // sp, sp=sp,
-                         devices=jax.devices()[: (n_dev // sp) * sp])
-    policy = shd.ShardingPolicy() if mesh.devices.size > 1 else None
+    ring = min(args.ring_size, n_dev // sp)
+    if ring > 1:
+        data = n_dev // (ring * sp)
+        mesh = shd.make_usp_mesh(data=data, ring=ring, ulysses=sp,
+                                 devices=jax.devices()[: data * ring * sp])
+        policy = shd.usp_policy()
+    else:
+        mesh = shd.make_mesh(data=n_dev // sp, sp=sp,
+                             devices=jax.devices()[: (n_dev // sp) * sp])
+        policy = shd.ShardingPolicy() if mesh.devices.size > 1 else None
 
     def load_or_zeros(path, shape):
         if path and os.path.exists(path):
@@ -88,8 +107,36 @@ def main():
             return jnp.asarray(a if a.ndim == 3 else a[None])
         return jnp.zeros(shape, jnp.float32)
 
-    ctx = load_or_zeros(args.prompt_embeds, (1, 512, dit_cfg.text_dim))
-    ctx_null = load_or_zeros(args.uncond_embeds, (1, 512, dit_cfg.text_dim))
+    if args.prompt is not None:
+        # in-pipeline T5 encoding with the reference default negative
+        # prompt (text2video.py:219, shared_config.py:19)
+        from hyvideo_prfl_tpu.configs import SAMPLE_NEG_PROMPT
+        from hyvideo_prfl_tpu.models import t5 as t5_mod
+        from hyvideo_prfl_tpu.utils.tokenizers import HuggingfaceTokenizer
+
+        if not (args.t5_params and os.path.exists(args.t5_params)):
+            logging.error("--prompt requires --t5_params (converted "
+                          "umT5-XXL weights)")
+            return 1
+        t5_cfg = t5_mod.umt5_xxl()
+        t5_params = ck.load_orbax(args.t5_params)
+        tok = HuggingfaceTokenizer(args.tokenizer, seq_len=512,
+                                   clean="whitespace")
+        encode = jax.jit(
+            lambda ids, m: t5_mod.encode_text(t5_params, t5_cfg, ids, m))
+
+        def embed(text):
+            ids, mask = tok([text], return_mask=True)
+            return jnp.asarray(encode(jnp.asarray(ids), jnp.asarray(mask)))
+
+        neg = (args.negative_prompt if args.negative_prompt is not None
+               else SAMPLE_NEG_PROMPT)
+        ctx = embed(args.prompt)
+        ctx_null = embed(neg)
+    else:
+        ctx = load_or_zeros(args.prompt_embeds, (1, 512, dit_cfg.text_dim))
+        ctx_null = load_or_zeros(args.uncond_embeds,
+                                 (1, 512, dit_cfg.text_dim))
 
     w, h = SIZE_CONFIGS[args.size]
     lat_f, lat_h, lat_w = latent_size_for(
