@@ -43,7 +43,11 @@ class BlockDistributedSampler:
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = 0
-        self.block = dataset_len // num_replicas
+        # ceil like torch's DistributedSampler: when the dataset doesn't
+        # divide (or is smaller than the replica count), ranks wrap around
+        # instead of getting an empty block (which would starve the
+        # infinite-epoch iterator into a spin)
+        self.block = max(1, -(-dataset_len // num_replicas))
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -53,7 +57,7 @@ class BlockDistributedSampler:
 
     def __iter__(self) -> Iterator[int]:
         lo = self.rank * self.block
-        idxs = list(range(lo, lo + self.block))
+        idxs = [(lo + i) % self.dataset_len for i in range(self.block)]
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(idxs)

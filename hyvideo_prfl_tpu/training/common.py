@@ -186,13 +186,21 @@ def global_norm_finite(grads) -> jnp.ndarray:
     return optax.global_norm(grads)
 
 
+@jax.jit
+def _finite_per_leaf(leaves):
+    return jnp.stack([jnp.isfinite(l).all() for l in leaves])
+
+
 def validate_params(params) -> dict:
     """NaN/Inf parameter health check (validate_model_parameters,
     train_pavrm.py:85-107: run at init and every 100 steps). Returns
-    {"finite": bool, "bad": [leaf paths]} — one device sync."""
+    {"finite": bool, "bad": [leaf paths]}. All per-leaf reductions run in
+    ONE compiled computation and transfer as one small bool vector — a
+    per-leaf host fetch would stall the step pipeline on large trees."""
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
-    bad = []
-    for path, leaf in flat:
-        if not bool(jnp.isfinite(leaf).all()):
-            bad.append(jax.tree_util.keystr(path))
+    if not flat:
+        return {"finite": True, "bad": []}
+    ok = jax.device_get(_finite_per_leaf([leaf for _, leaf in flat]))
+    bad = [jax.tree_util.keystr(path)
+           for (path, _), good in zip(flat, ok) if not good]
     return {"finite": not bad, "bad": bad}

@@ -41,6 +41,59 @@ def build_mesh(config):
     return shd.make_mesh(data=data, sp=sp, devices=jax.devices()[: data * sp])
 
 
+def shard_batch_fn(mesh):
+    """Batch -> device_put with P("data", ...) leading-axis sharding — the
+    mesh analog of the reference's per-rank DataLoader placement
+    (train_prfl.py:455-464). Non-array fields (caption strings) pass
+    through."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(shd.DATA_AXIS))
+
+    def to_device(batch):
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, list):
+                out[k] = v
+            else:
+                out[k] = jax.device_put(v, sharding)
+        return out
+
+    return to_device
+
+
+def make_train_loader(config, dataset, mesh, start_index: int = 0):
+    """The data pump for a training CLI: num_replicas = mesh "data" axis
+    (world // sp in the reference, train_prfl.py:455-464), per-replica
+    contiguous blocks zipped into one global batch, device_put with a
+    P("data", ...) sharding. Single-replica runs additionally bucket
+    mixed-shape caches (one compile per shape bucket)."""
+    from hyvideo_prfl_tpu.data.loader import (
+        BatchIterator, BlockDistributedSampler, DataParallelLoader,
+    )
+
+    data_size = mesh.shape[shd.DATA_AXIS]
+    sp_size = mesh.shape[shd.SP_AXIS]
+    batch_size = config.dataset.batch_size
+    shuffle = bool(config.dataset.get("shuffle", False))
+    seed = config.train.seed
+    to_device = shard_batch_fn(mesh) if mesh.devices.size > 1 else None
+    if data_size > 1:
+        return iter(DataParallelLoader(
+            dataset, num_replicas=data_size, batch_size=batch_size,
+            start_index=start_index, shuffle=shuffle, seed=seed,
+            sp_size=sp_size, to_device=to_device,
+        ))
+    sampler = BlockDistributedSampler(
+        len(dataset), 1, 0, start_index=start_index, shuffle=shuffle,
+        seed=seed,
+    )
+    return iter(BatchIterator(
+        dataset, sampler, batch_size=batch_size, sp_size=sp_size,
+        group_by_shape=True, to_device=to_device,
+    ))
+
+
 def dit_cfg_from(config, **overrides):
     cfg = dit_config_for_task(config.task, **overrides)
     ov = config.get_path("model.override")

@@ -21,10 +21,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from scripts._common import MetricLogger, StepTimer, build_mesh, dit_cfg_from
+from scripts._common import (
+    MetricLogger, StepTimer, build_mesh, dit_cfg_from, make_train_loader,
+)
 from hyvideo_prfl_tpu.configs import load_config
 from hyvideo_prfl_tpu.data.dataset import LatentCacheDataset
-from hyvideo_prfl_tpu.data.loader import BlockDistributedSampler, BatchIterator
 from hyvideo_prfl_tpu.models import wan_dit
 from hyvideo_prfl_tpu.parallel import sharding as shd
 from hyvideo_prfl_tpu.schedulers import flow_match as fm
@@ -109,9 +110,7 @@ def main(config, max_steps=None):
         is_flf2v="flf2v" in config.task,
         seed=config.train.seed,
     )
-    sampler = BlockDistributedSampler(len(dataset), 1, 0)
-    loader = iter(BatchIterator(dataset, sampler,
-                                batch_size=config.dataset.batch_size))
+    loader = make_train_loader(config, dataset, mesh)
 
     step_fn = make_train_step(model, tx, fm.train_schedule(
         config.extra_model.scheduler.num_train_timesteps))

@@ -22,10 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from scripts._common import MetricLogger, StepTimer, build_mesh, dit_cfg_from
+from scripts._common import (
+    MetricLogger, StepTimer, build_mesh, dit_cfg_from, make_train_loader,
+)
 from hyvideo_prfl_tpu.configs import load_config
 from hyvideo_prfl_tpu.data.dataset import LatentCacheDataset
-from hyvideo_prfl_tpu.data.loader import BlockDistributedSampler, BatchIterator
 from hyvideo_prfl_tpu.models import wan_dit
 from hyvideo_prfl_tpu.parallel import sharding as shd
 from hyvideo_prfl_tpu.schedulers import flow_match as fm
@@ -142,10 +143,9 @@ def main(config, max_steps=None):
         null_dir=config.dataset.null_dir,
         seed=config.train.seed,
     )
-    sampler = BlockDistributedSampler(len(dataset), 1, 0,
-                                      start_index=start_step % max(len(dataset), 1))
-    loader = iter(BatchIterator(dataset, sampler,
-                                batch_size=config.dataset.batch_size))
+    loader = make_train_loader(
+        config, dataset, mesh,
+        start_index=start_step % max(len(dataset), 1))
 
     refl_fn = make_refl_step(model, tx, lora_mode=use_lora)
     lrm_tower = {"dit": lrm_dit, "q": lrm_q, "m": lrm_m}
@@ -165,9 +165,11 @@ def main(config, max_steps=None):
         vae_params = ck.load_orbax(vae_path)
 
     def sanity_dump(step, m_refl):
-        """rank0 pred_x0 / latent mp4 dumps for early steps
-        (train_prfl.py:849-887)."""
-        if config.train.sanity_check_interval < 0 or step > 50:
+        """rank0 pred_x0 / latent mp4 dumps, every sanity_check_interval
+        steps within the first 50 (train_prfl.py:849-887). Off-cadence steps
+        never fetch the latents to host."""
+        interval = config.train.sanity_check_interval
+        if interval <= 0 or step > 50 or step % interval != 0:
             return
         os.makedirs(sanity_dir, exist_ok=True)
         for name in ("pred_x0", "latent_next"):
