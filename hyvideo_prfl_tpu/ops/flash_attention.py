@@ -42,7 +42,14 @@ NEG_INF = -1e30
 
 def _interpret() -> bool:
     """Pallas interpret mode on CPU backends (tests / virtual meshes):
-    the kernel runs as plain XLA ops, numerically identical."""
+    the kernel runs as plain XLA ops, numerically identical. Override with
+    PALLAS_INTERPRET=0/1 (e.g. chipless TPU AOT lowering from a CPU
+    process, scripts/memory_audit_14b.py)."""
+    import os
+
+    ov = os.environ.get("PALLAS_INTERPRET")
+    if ov is not None:
+        return ov == "1"
     import jax
 
     return jax.default_backend() == "cpu"
@@ -201,6 +208,47 @@ def _pad_len(l, b):
     return (l + b - 1) // b * b
 
 
+def pick_blocks(lq: int, lk: int):
+    """(block_q, block_k) for the forward kernels.
+
+    block_k: full-K single-block when it fits VMEM (no online-softmax
+    rescale chain), else the measured 2048 streaming block.
+    block_q: minimize q PADDING (padded rows are pure wasted MXU work —
+    e.g. 3120 tokens padded to 3584 at block 512 burns 15%); but in the
+    multi-k streaming regime keep blocks >= 384 so the per-q-block k/v
+    re-streaming stays hidden under the MXU time (DMA/compute crossover
+    is ~bq 240 on v5e at d=128)."""
+    lk128 = _pad_len(lk, 128)
+    full_k = lk128 <= FULL_K_MAX
+    block_k = lk128 if full_k else DEFAULT_BLOCK_K
+    lq128 = _pad_len(lq, 128)
+    if lq128 <= DEFAULT_BLOCK_Q:
+        return lq128, block_k
+    cands = (256, 384, 512) if full_k else (384, 512)
+    block_q = min(cands, key=lambda bq: (_pad_len(lq, bq), -bq))
+    return block_q, block_k
+
+
+def _divisor_block(l_p: int, cap: int) -> int:
+    """Largest block <= cap that divides l_p, preferring multiples of 128
+    (MXU tiles), falling back to multiples of 8 (sublanes)."""
+    for mult in (128, 8):
+        for b in range(cap - cap % mult, mult - 1, -mult):
+            if l_p % b == 0:
+                return b
+    return l_p  # l_p < 8 never happens for real sequences
+
+
+def _bwd_blocks(lq_p: int, lk_p: int, block_q: int, block_k: int):
+    """Backward block sizes: the dq/dkv kernels hold ~3 [BQ, BK] fp32
+    temporaries on the Mosaic stack, so the full-K forward blocks
+    (e.g. 512x3200 = 6.5 MB/temp) overflow the 16 MB scoped-VMEM limit.
+    Cap the product at 512x1024 with divisors of the padded lengths."""
+    bq = block_q if block_q <= 512 else _divisor_block(lq_p, 512)
+    bk = block_k if block_k <= 1024 else _divisor_block(lk_p, 1024)
+    return bq, bk
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(4, 5, 6)
 )
@@ -294,6 +342,7 @@ def _flash_bwd(block_q, block_k, masked, res, do):
     q, k, v, valid, o, lse = res
     bn, lq, d = q.shape
     lk = k.shape[1]
+    block_q, block_k = _bwd_blocks(lq, lk, block_q, block_k)
     n_q = lq // block_q
     n_k = lk // block_k
     scale = 1.0 / (d ** 0.5)
@@ -369,32 +418,37 @@ def flash_attention(
     k_valid_len: Optional[jnp.ndarray] = None,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
+    qk_layout: str = "blnd",
 ) -> jnp.ndarray:
-    """Flash attention over [B, L, N, D] tensors; returns [B, Lq, N, D]."""
-    b, lq, n, d = q.shape
-    lk = k.shape[1]
+    """Flash attention; returns [B, Lq, N, D]. v is BLND; q/k are BLND, or
+    already head-major [B, N, L, D] (qk_layout="bnld" — the qknorm_rope
+    kernel's output layout, saving the moveaxis relayout here)."""
+    bnld_in = qk_layout == "bnld"
+    if bnld_in:
+        b, n, lq, d = q.shape
+        lk = k.shape[2]
+    else:
+        b, lq, n, d = q.shape
+        lk = k.shape[1]
     assert d % 128 == 0, f"head_dim {d} must be a multiple of 128"
 
-    lk128 = _pad_len(lk, 128)
-    if block_q is None:
-        block_q = DEFAULT_BLOCK_Q
-    if block_k is None:
-        # full-K (one inner step, no pad waste) when it fits VMEM comfortably
-        block_k = lk128 if lk128 <= FULL_K_MAX else DEFAULT_BLOCK_K
-    # clamp blocks for short sequences (pad to 128 granularity first)
-    block_q = min(block_q, _pad_len(lq, 128))
-    block_k = min(block_k, lk128)
+    auto_q, auto_k = pick_blocks(lq, lk)
+    block_q = min(block_q, _pad_len(lq, 128)) if block_q else auto_q
+    block_k = min(block_k, _pad_len(lk, 128)) if block_k else auto_k
     lq_p = _pad_len(lq, block_q)
     lk_p = _pad_len(lk, block_k)
 
-    def bnld(x, lp):
-        x = jnp.moveaxis(x, 2, 1).reshape(b * n, x.shape[1], d)
+    def bnld(x, lp, head_major=False):
+        if head_major:
+            x = x.reshape(b * n, x.shape[2], d)
+        else:
+            x = jnp.moveaxis(x, 2, 1).reshape(b * n, x.shape[1], d)
         if lp != x.shape[1]:
             x = jnp.pad(x, ((0, 0), (0, lp - x.shape[1]), (0, 0)))
         return x
 
-    qb = bnld(q, lq_p)
-    kb = bnld(k, lk_p)
+    qb = bnld(q, lq_p, bnld_in)
+    kb = bnld(k, lk_p, bnld_in)
     vb = bnld(v, lk_p)
 
     if k_valid_len is None:

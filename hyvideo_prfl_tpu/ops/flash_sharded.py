@@ -33,15 +33,7 @@ from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .flash_attention import _flash_bwd, _flash_fwd_impl, _pad_len, \
-    DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q, FULL_K_MAX
-
-
-def _blocks(lq: int, lk: int):
-    lk128 = _pad_len(lk, 128)
-    block_k = lk128 if lk128 <= FULL_K_MAX else DEFAULT_BLOCK_K
-    block_q = min(DEFAULT_BLOCK_Q, _pad_len(lq, 128))
-    block_k = min(block_k, lk128)
-    return block_q, block_k
+    pick_blocks as _blocks
 
 
 def _to_bnld(x, lp):
