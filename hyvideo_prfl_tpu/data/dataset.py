@@ -19,6 +19,7 @@ text_len so every batch is a static shape.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import random
@@ -34,6 +35,13 @@ QUALITY_KEYS = (
 
 
 def _load_npy(path):
+    return np.load(path)
+
+
+@functools.lru_cache(maxsize=8)
+def _load_null_npy(path):
+    """null/uncond text embeddings are re-read for EVERY sample in the
+    reference; here they load once per process (they never change)."""
     return np.load(path)
 
 
@@ -86,6 +94,11 @@ class LatentCacheDataset:
         self.is_i2v = is_i2v
         self.is_flf2v = is_flf2v
         self.rng = random.Random(seed)
+        # native C++ prefetch ring: a sample's npy files read in parallel
+        # (data/native_loader.py); silently absent when the .so isn't built
+        from .native_loader import NativeStream
+
+        self._stream = NativeStream()
 
         self.meta_paths: List[str] = []
         for meta_file in meta_file_list:
@@ -139,7 +152,38 @@ class LatentCacheDataset:
         return _load_npy(d["text_en_path"])[0], d.get("prompt", "")
 
     def _null_text(self, name: str) -> np.ndarray:
-        return _load_npy(os.path.join(self.null_dir, f"wanx/{name}.npy"))[0]
+        return _load_null_npy(
+            os.path.join(self.null_dir, f"wanx/{name}.npy"))[0]
+
+    def _read_many(self, paths: List[Optional[str]]) -> List[Optional[np.ndarray]]:
+        """Read several npys of one sample in parallel through the native
+        ring (None entries pass through). numpy fallback when unbuilt."""
+        real = [p for p in paths if p is not None]
+        if self._stream.available() and len(real) > 1:
+            arrs = iter(self._stream.read_many(real))
+        else:
+            arrs = iter([np.load(p) for p in real])
+        return [next(arrs) if p is not None else None for p in paths]
+
+    def _meta_paths_for(self, d: Dict, allow_long=True):
+        """(latent_path, text_path|None, caption, cond_path, clip_path);
+        text_path None means the caller substitutes a null embedding."""
+        lat = next((d[k] for k in ("video_vae_latent_path",
+                                   "vae_latent_path", "latents_path")
+                    if k in d), None)
+        if lat is None:
+            raise FileNotFoundError("no latent path key in meta")
+        if "textshort_path" in d and "textlong_path" in d:
+            if allow_long and self.rng.random() <= self.long_caption_prob:
+                text, cap = d["textlong_path"], d.get("long_caption", "")
+            else:
+                text, cap = d["textshort_path"], d.get("short_caption", "")
+        else:
+            text, cap = d["text_en_path"], d.get("prompt", "")
+        cond = next((d[k] for k in ("f1_black_path", "latents_condition_path")
+                     if k in d), None) if self.is_i2v else None
+        clip = d.get("imgclip_path") if self.is_i2v else None
+        return lat, text, cap, cond, clip
 
     def _cond(self, d: Dict) -> Optional[np.ndarray]:
         for key in ("f1_black_path", "latents_condition_path"):
@@ -158,27 +202,27 @@ class LatentCacheDataset:
     def get_refl(self, idx: int) -> Dict[str, np.ndarray]:
         """PRFL sample (get_batch_lrm_refl, image2video_dataset.py:70-129)."""
         d = self._read_meta(self.meta_paths[idx])
-        latents = self._latents(d)
-        text, prompt = self._text(d)
+        lat_p, text_p, prompt, cond_p, clip_p = self._meta_paths_for(d)
         if self.rng.random() < self.uncond_prompt_prob:
-            text = self._null_text("null")
+            text_p = None
+        lat, text, cond, clip = self._read_many(
+            [lat_p, text_p, cond_p, clip_p])
+        text = text[0] if text is not None else self._null_text("null")
         # flf2v tasks use their own uncond embedding file
         # (image2video_dataset.py:115-118)
         uncond_name = "uncond_flf2v" if self.is_flf2v else "uncond"
         out = {
-            "latents": latents,
+            "latents": _to_thwc(lat),
             "text": _pad_text(text, self.text_len),
             "uncond_text": _pad_text(self._null_text(uncond_name),
                                      self.text_len),
             "prompt": prompt,
         }
-        if self.is_i2v:
-            cond = self._cond(d)
-            clip = self._clip(d)
-            if cond is not None:
-                out["cond"] = cond
-            if clip is not None:
-                out["clip_fea"] = clip
+        if cond is not None:
+            out["cond"] = _to_thwc(cond)
+        if clip is not None:
+            out["clip_fea"] = clip.reshape(-1, clip.shape[-1]).astype(
+                np.float32)
         return out
 
     def get_lrm_ce(self, idx: int) -> Dict[str, np.ndarray]:
@@ -197,20 +241,19 @@ class LatentCacheDataset:
 
     def get_refl_no_drop(self, idx: int) -> Dict[str, np.ndarray]:
         d = self._read_meta(self.meta_paths[idx])
-        latents = self._latents(d)
-        text, prompt = self._text(d)
+        lat_p, text_p, prompt, cond_p, clip_p = self._meta_paths_for(d)
+        lat, text, cond, clip = self._read_many(
+            [lat_p, text_p, cond_p, clip_p])
         out = {
-            "latents": latents,
-            "text": _pad_text(text, self.text_len),
+            "latents": _to_thwc(lat),
+            "text": _pad_text(text[0], self.text_len),
             "prompt": prompt,
         }
-        if self.is_i2v:
-            cond = self._cond(d)
-            clip = self._clip(d)
-            if cond is not None:
-                out["cond"] = cond
-            if clip is not None:
-                out["clip_fea"] = clip
+        if cond is not None:
+            out["cond"] = _to_thwc(cond)
+        if clip is not None:
+            out["clip_fea"] = clip.reshape(-1, clip.shape[-1]).astype(
+                np.float32)
         return out
 
     def get_lrm_bt_online(self, idx: int) -> Dict[str, np.ndarray]:

@@ -50,8 +50,90 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     lib.ll_error.restype = ctypes.c_char_p
     lib.ll_error.argtypes = [ctypes.c_void_p]
     lib.ll_close.argtypes = [ctypes.c_void_p]
+    try:  # streaming API (absent in pre-round-2 builds of the .so)
+        lib.ll_open_stream.restype = ctypes.c_void_p
+        lib.ll_open_stream.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.ll_submit.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    except AttributeError:
+        pass
     _LIB = lib
     return lib
+
+
+def _fetch_slot(lib, h, data, shape, ndim, dtype):
+    """One ll_next call -> (copied array | None on stream end)."""
+    slot = lib.ll_next(h, ctypes.byref(data), shape, ctypes.byref(ndim),
+                       ctypes.byref(dtype))
+    if slot == -1:
+        return None
+    if slot == -2:
+        raise IOError(lib.ll_error(h).decode())
+    shp = tuple(shape[i] for i in range(ndim.value))
+    np_dtype = _DTYPES[dtype.value]
+    n = int(np.prod(shp))
+    buf = ctypes.cast(
+        data, ctypes.POINTER(ctypes.c_char * (n * np_dtype().nbytes))
+    ).contents
+    out = np.frombuffer(buf, dtype=np_dtype).reshape(shp).copy()
+    lib.ll_release(h, slot)
+    return out
+
+
+class NativeStream:
+    """Streaming submit/get over the native prefetch ring.
+
+    `read_many(paths)` issues all of a sample's .npy reads to the worker
+    pool at once and collects them in submission order — the hot data-path
+    integration point (data/dataset.py): a sample's latent/text/cond/clip
+    files load in parallel instead of as sequential np.loads. Thread-safe
+    for one reader at a time (internal lock)."""
+
+    def __init__(self, slots: int = 16, threads: int = 4):
+        import threading
+
+        self._lib = _load_lib()
+        self._h = None
+        self._lock = threading.Lock()
+        if self._lib is not None and hasattr(self._lib, "ll_open_stream"):
+            self._h = self._lib.ll_open_stream(slots, threads)
+
+    def available(self) -> bool:
+        return self._h is not None
+
+    def read_many(self, paths: Sequence[str]) -> List[np.ndarray]:
+        if self._h is None:
+            return [np.load(p) for p in paths]
+        lib = self._lib
+        data = ctypes.c_void_p()
+        shape = (ctypes.c_longlong * 8)()
+        ndim = ctypes.c_int()
+        dtype = ctypes.c_int()
+        with self._lock:
+            for p in paths:
+                lib.ll_submit(self._h, p.encode())
+            out, err = [], None
+            # drain EVERY submitted ticket even after an error — leftovers
+            # would desync the next read_many's submission-order matching
+            for _ in paths:
+                try:
+                    arr = _fetch_slot(lib, self._h, data, shape, ndim, dtype)
+                except IOError as e:
+                    err, arr = err or e, None
+                out.append(arr)
+        if err is not None:
+            raise err
+        return out
+
+    def close(self):
+        if self._h is not None:
+            self._lib.ll_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def build_native(force: bool = False) -> bool:
@@ -101,20 +183,9 @@ class NativePrefetcher:
         ndim = ctypes.c_int()
         dtype = ctypes.c_int()
         while True:
-            slot = lib.ll_next(self._h, ctypes.byref(data), shape,
-                               ctypes.byref(ndim), ctypes.byref(dtype))
-            if slot == -1:
+            out = _fetch_slot(lib, self._h, data, shape, ndim, dtype)
+            if out is None:
                 return
-            if slot == -2:
-                raise IOError(lib.ll_error(self._h).decode())
-            shp = tuple(shape[i] for i in range(ndim.value))
-            np_dtype = _DTYPES[dtype.value]
-            n = int(np.prod(shp))
-            buf = ctypes.cast(
-                data, ctypes.POINTER(ctypes.c_char * (n * np_dtype().nbytes))
-            ).contents
-            out = np.frombuffer(buf, dtype=np_dtype).reshape(shp).copy()
-            lib.ll_release(self._h, slot)
             yield out
 
     def close(self):

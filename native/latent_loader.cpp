@@ -10,9 +10,12 @@
 //
 // C ABI:
 //   llh*  ll_open(const char** paths, int n, int slots, int threads)
+//   llh*  ll_open_stream(int slots, int threads)   // submit-as-you-go mode
+//   void  ll_submit(llh*, const char* path)        // enqueue one file
 //   int   ll_next(llh*, void** data, long long* shape /*8*/, int* ndim,
 //                 int* dtype /*0=f32,1=f16,2=i64,3=u8,4=f64*/)
 //         -> slot id (>=0) or -1 on stream end / -2 on error
+//         (submission order; in stream mode call at most once per submit)
 //   void  ll_release(llh*, int slot)
 //   void  ll_close(llh*)
 //   const char* ll_error(llh*)
@@ -20,12 +23,13 @@
 // Build: native/build.sh (g++ -O3 -shared -fPIC -pthread)
 
 #include <atomic>
+#include <chrono>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
 #include <mutex>
-#include <queue>
 #include <string>
 #include <thread>
 #include <vector>
@@ -160,28 +164,39 @@ bool read_npy(const std::string& path, Sample* out) {
 }
 
 struct Loader {
-  std::vector<std::string> paths;
   std::vector<Slot> slots;
   std::vector<std::thread> workers;
   std::mutex mu;
-  std::condition_variable cv_ready, cv_free;
-  std::queue<int> ready;  // slot ids in sample order
-  std::atomic<size_t> next_path{0};
+  std::condition_variable cv_ready, cv_free, cv_jobs;
   std::atomic<bool> stop{false};
   std::string last_err;
-  size_t emitted = 0;
+  // job queue: (ticket, path) in submission order. Bounded mode (ll_open)
+  // submits everything up front and ll_next returns -1 past `total`;
+  // stream mode (ll_open_stream + ll_submit) has no end marker — the
+  // consumer calls ll_next at most once per submit.
+  std::deque<std::pair<size_t, std::string>> jobs;
+  size_t submitted = 0;
+  const bool bounded;
+  const size_t total;
   // enforce output ordering: worker i writes sample k into the ring in
   // submission order via a ticketing scheme
   std::mutex order_mu;
-  size_t next_ticket = 0;
   size_t next_emit = 0;
   std::vector<std::pair<size_t, int>> pending;  // (ticket, slot)
 
-  explicit Loader(std::vector<std::string> p, int n_slots, int n_threads)
-      : paths(std::move(p)), slots(n_slots) {
+  Loader(int n_slots, int n_threads, bool bounded_, size_t total_)
+      : slots(n_slots), bounded(bounded_), total(total_) {
     for (int t = 0; t < n_threads; ++t) {
       workers.emplace_back([this] { work(); });
     }
+  }
+
+  void submit(const std::string& path) {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      jobs.emplace_back(submitted++, path);
+    }
+    cv_jobs.notify_one();
   }
 
   int acquire_free_slot() {
@@ -201,21 +216,32 @@ struct Loader {
   void work() {
     for (;;) {
       if (stop.load()) return;
-      // acquire the slot BEFORE claiming a path index: otherwise all slots
-      // can be held by later samples while the worker holding the sample
-      // the consumer needs next starves (circular wait)
+      // acquire the slot BEFORE claiming a job: otherwise all slots can be
+      // held by later samples while the worker holding the sample the
+      // consumer needs next starves (circular wait)
       int slot = acquire_free_slot();
       if (slot < 0) return;
-      size_t idx = next_path.fetch_add(1);
-      if (idx >= paths.size()) {
-        slots[slot].state.store(0);
-        std::lock_guard<std::mutex> lk(mu);
-        cv_free.notify_all();
-        return;
+      size_t idx;
+      std::string path;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_jobs.wait(lk, [&] {
+          return stop.load() || !jobs.empty() ||
+                 (bounded && submitted >= total && jobs.empty());
+        });
+        if (stop.load() || jobs.empty()) {
+          slots[slot].state.store(0);
+          cv_free.notify_all();
+          if (stop.load() || bounded) return;  // bounded: no more work ever
+          continue;
+        }
+        idx = jobs.front().first;
+        path = std::move(jobs.front().second);
+        jobs.pop_front();
       }
       Sample& s = slots[slot].sample;
       s = Sample();
-      read_npy(paths[idx], &s);
+      read_npy(path, &s);
       slots[slot].state.store(2);
       {
         std::lock_guard<std::mutex> lk(order_mu);
@@ -254,7 +280,7 @@ struct Loader {
           }
         }
       }
-      if (next_emit >= paths.size()) return -1;  // stream end
+      if (bounded && next_emit >= total) return -1;  // stream end
       cv_ready.wait_for(lk, std::chrono::milliseconds(50));
       if (stop.load()) return -1;
     }
@@ -274,6 +300,7 @@ struct Loader {
       std::lock_guard<std::mutex> lk(mu);
       cv_free.notify_all();
       cv_ready.notify_all();
+      cv_jobs.notify_all();
     }
     for (auto& w : workers) {
       if (w.joinable()) w.join();
@@ -286,10 +313,22 @@ struct Loader {
 extern "C" {
 
 void* ll_open(const char** paths, int n, int slots, int threads) {
-  std::vector<std::string> p(paths, paths + n);
   if (slots < 2) slots = 2;
   if (threads < 1) threads = 1;
-  return new Loader(std::move(p), slots, threads);
+  Loader* l = new Loader(slots, threads, /*bounded=*/true,
+                         static_cast<size_t>(n));
+  for (int i = 0; i < n; ++i) l->submit(paths[i]);
+  return l;
+}
+
+void* ll_open_stream(int slots, int threads) {
+  if (slots < 2) slots = 2;
+  if (threads < 1) threads = 1;
+  return new Loader(slots, threads, /*bounded=*/false, 0);
+}
+
+void ll_submit(void* h, const char* path) {
+  static_cast<Loader*>(h)->submit(path);
 }
 
 int ll_next(void* h, void** data, long long* shape, int* ndim, int* dtype) {
