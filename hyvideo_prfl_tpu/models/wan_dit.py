@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import dot_product_attention
+from ..ops.qknorm_rope import rmsnorm_only, rmsnorm_rope
 from ..parallel.sharding import ShardingPolicy, constrain
 from .rope import apply_rope_rolled, rope_tables_rolled
 
@@ -70,7 +71,10 @@ class WanConfig:
     residual_dtype: Any = jnp.float32
     remat: bool = True  # activation checkpointing per block
     # remat policy: "full" recomputes everything (min memory);
-    # "dots" saves matmul outputs (recompute only elementwise; faster bwd)
+    # "dots" saves matmul outputs with no batch dims (nothing in this model
+    # qualifies — kept for parity with jax naming); "dots_all" saves ALL
+    # matmul outputs (~64 MB/block at dim 1280/3120 tok: skips the forward
+    # recompute in backward where memory permits; NOT for 14B@75.6k)
     remat_policy: str = "full"
 
     @property
@@ -175,38 +179,45 @@ class SelfAttention(nn.Module):
         x = x.astype(cd)
         q = _dense("q", cfg.dim, cd)(x)
         k = _dense("k", cfg.dim, cd)(x)
-        v = _dense("v", cfg.dim, cd)(x)
+        v = _dense("v", cfg.dim, cd)(x).reshape(b, l, n, d)
         if cfg.qk_norm:
-            q = _rms_norm(q, self.param("norm_q", nn.initializers.ones, (cfg.dim,)), cfg.eps)
-            k = _rms_norm(k, self.param("norm_k", nn.initializers.ones, (cfg.dim,)), cfg.eps)
-        q = q.reshape(b, l, n, d)
-        k = k.reshape(b, l, n, d)
-        v = v.reshape(b, l, n, d)
-        q = apply_rope_rolled(q, cos, sin)  # stays in compute dtype
-        k = apply_rope_rolled(k, cos, sin)
-        if policy is not None and policy.usp:
-            # USP inference: ring x ulysses shard_map attention
-            # (inference_prfl.py:71-82 topology)
-            from ..ops.ring_attention import usp_attention
-
+            # fused RMSNorm+rope Pallas kernel: the unfused chain is ~1/3 of
+            # the forward wall-clock. Output is head-major [B, N, L, D] (the
+            # flash kernel's layout — see ops/qknorm_rope.py docstring).
+            wq = self.param("norm_q", nn.initializers.ones, (cfg.dim,))
+            wk = self.param("norm_k", nn.initializers.ones, (cfg.dim,))
+            q = rmsnorm_rope(q, wq, cos, sin, n, cfg.eps)
+            k = rmsnorm_rope(k, wk, cos, sin, n, cfg.eps)
+            qk_layout = "bnld"
+        else:
+            q = apply_rope_rolled(q.reshape(b, l, n, d), cos, sin)
+            k = apply_rope_rolled(k.reshape(b, l, n, d), cos, sin)
+            qk_layout = "blnd"
+        if policy is not None and (policy.usp or policy.shard_map_ulysses):
+            if qk_layout == "bnld":  # shard_map paths take token-major qkv
+                q = jnp.moveaxis(q, 1, 2)
+                k = jnp.moveaxis(k, 1, 2)
             q = constrain(q, policy, "attn_heads_sp_tokens")
             k = constrain(k, policy, "attn_heads_sp_tokens")
             v = constrain(v, policy, "attn_heads_sp_tokens")
-            out = usp_attention(q, k, v)
-        elif policy is not None and policy.shard_map_ulysses:
-            # explicit all_to_all Ulysses; pallas flash runs per device
-            from ..ops.attention import ulysses_attention
+            if policy.usp:
+                # USP inference: ring x ulysses shard_map attention
+                # (inference_prfl.py:71-82 topology)
+                from ..ops.ring_attention import usp_attention
 
-            q = constrain(q, policy, "attn_heads_sp_tokens")
-            k = constrain(k, policy, "attn_heads_sp_tokens")
-            v = constrain(v, policy, "attn_heads_sp_tokens")
-            out = ulysses_attention(q, k, v)
+                out = usp_attention(q, k, v)
+            else:
+                # explicit all_to_all Ulysses; pallas flash runs per device
+                from ..ops.attention import ulysses_attention
+
+                out = ulysses_attention(q, k, v)
         else:
             # GSPMD Ulysses: shard heads / gather sequence around the op
-            q = constrain(q, policy, "attn_heads")
-            k = constrain(k, policy, "attn_heads")
+            hspec = "attn_heads_bnld" if qk_layout == "bnld" else "attn_heads"
+            q = constrain(q, policy, hspec)
+            k = constrain(k, policy, hspec)
             v = constrain(v, policy, "attn_heads")
-            out = dot_product_attention(q, k, v)
+            out = dot_product_attention(q, k, v, qk_layout=qk_layout)
             out = constrain(out, policy, "attn_heads")
         out = out.reshape(b, l, cfg.dim)
         out = constrain(out, policy, "tokens")
@@ -234,27 +245,33 @@ class CrossAttention(nn.Module):
         context = context.astype(cd)
         q = _dense("q", cfg.dim, cd)(x)
         k = _dense("k", cfg.dim, cd)(context)
-        v = _dense("v", cfg.dim, cd)(context)
+        v = _dense("v", cfg.dim, cd)(context).reshape(b, -1, n, d)
         if cfg.qk_norm:
-            q = _rms_norm(q, self.param("norm_q", nn.initializers.ones, (cfg.dim,)), cfg.eps)
-            k = _rms_norm(k, self.param("norm_k", nn.initializers.ones, (cfg.dim,)), cfg.eps)
-        q = q.reshape(b, l, n, d)
-        k = k.reshape(b, -1, n, d)
-        v = v.reshape(b, -1, n, d)
-        out = dot_product_attention(q, k, v)
+            wq = self.param("norm_q", nn.initializers.ones, (cfg.dim,))
+            wk = self.param("norm_k", nn.initializers.ones, (cfg.dim,))
+            q = rmsnorm_only(q, wq, n, cfg.eps)      # [B, N, L, D]
+            k = rmsnorm_only(k, wk, n, cfg.eps)
+            qk_layout = "bnld"
+        else:
+            q = q.reshape(b, l, n, d)
+            k = k.reshape(b, -1, n, d)
+            qk_layout = "blnd"
+        out = dot_product_attention(q, k, v, qk_layout=qk_layout)
         if is_i2v:
             context_img = context_img.astype(cd)
             k_img = _dense("k_img", cfg.dim, cd)(context_img)
-            v_img = _dense("v_img", cfg.dim, cd)(context_img)
+            v_img = _dense("v_img", cfg.dim, cd)(context_img).reshape(
+                b, -1, n, d)
             if cfg.qk_norm:
-                k_img = _rms_norm(
+                k_img = rmsnorm_only(
                     k_img,
                     self.param("norm_k_img", nn.initializers.ones, (cfg.dim,)),
-                    cfg.eps,
+                    n, cfg.eps,
                 )
-            k_img = k_img.reshape(b, -1, n, d)
-            v_img = v_img.reshape(b, -1, n, d)
-            out = out + dot_product_attention(q, k_img, v_img)
+            else:
+                k_img = k_img.reshape(b, -1, n, d)
+            out = out + dot_product_attention(q, k_img, v_img,
+                                              qk_layout=qk_layout)
         out = out.reshape(b, l, cfg.dim)
         return _dense("o", cfg.dim, cd)(out)
 
@@ -441,10 +458,10 @@ class WanModel(nn.Module):
 
         block_cls = WanBlock
         if cfg.remat:
-            policy_fn = (
-                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                if cfg.remat_policy == "dots" else None
-            )
+            policy_fn = {
+                "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                "dots_all": jax.checkpoint_policies.dots_saveable,
+            }.get(cfg.remat_policy)
             block_cls = nn.remat(
                 WanBlock,
                 static_argnums=(),

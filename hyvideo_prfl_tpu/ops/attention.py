@@ -23,6 +23,20 @@ import jax.numpy as jnp
 _DEFAULT_BACKEND = "auto"
 
 
+def multichip_context() -> bool:
+    """True when tracing for a multi-device program: either this process
+    has multiple devices, or an ambient multi-device mesh is set (AOT
+    compilation against a chipless topology has jax.device_count() == 1
+    but still partitions — raw Mosaic calls would fail there)."""
+    if jax.device_count() > 1:
+        return True
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        return mesh is not None and not mesh.empty and mesh.size > 1
+    except Exception:
+        return False
+
+
 def set_default_backend(name: str) -> None:
     global _DEFAULT_BACKEND
     assert name in ("auto", "xla", "flash")
@@ -33,18 +47,21 @@ def get_default_backend() -> str:
     return _DEFAULT_BACKEND
 
 
-def _resolve_auto(q, k, in_shard_map: bool = False) -> str:
+def _resolve_auto(d: int, lk: int, in_shard_map: bool = False) -> str:
     """auto: Pallas flash on TPU for long self-attention-sized sequences
     (where XLA would materialize the [Lq, Lk] logits in HBM); XLA einsum
     otherwise (short cross-attention, CPU tests). Multi-device pjit programs
     get the custom_partitioning wrapper (ops/flash_sharded.py), so flash
-    engages under GSPMD/Shardy too."""
-    import jax
+    engages under GSPMD/Shardy too.
 
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    d_ok = q.shape[-1] % 128 == 0
-    long_seq = k.shape[1] >= 1024
-    return "flash" if (on_tpu and d_ok and long_seq) else "xla"
+    "On TPU" is decided by the Pallas interpret-mode rule rather than the
+    client backend: an AOT compile for a TPU topology runs in a CPU-client
+    process (scripts/memory_audit_14b.py with PALLAS_INTERPRET=0) but must
+    still take the flash path — XLA attention materializes [Lq, Lk]."""
+    from .flash_attention import _interpret
+
+    on_tpu = not _interpret()
+    return "flash" if (on_tpu and d % 128 == 0 and lk >= 1024) else "xla"
 
 
 def dot_product_attention(
@@ -53,27 +70,42 @@ def dot_product_attention(
     v: jnp.ndarray,
     k_valid_len: Optional[jnp.ndarray] = None,
     backend: Optional[str] = None,
+    qk_layout: str = "blnd",
 ) -> jnp.ndarray:
-    """Multi-head attention over [B, L, N, D] tensors (BLND layout).
+    """Multi-head attention. v is [B, Lk, N, D] (BLND); q and k are BLND, or
+    head-major [B, N, L, D] with qk_layout="bnld" (the fused qknorm_rope
+    kernel's output — also the flash kernel's internal layout, skipping a
+    transpose). Returns [B, Lq, N, D] in q.dtype.
 
     k_valid_len: optional [B] int32; keys at positions >= k_valid_len[b] are
     masked out (the reference's k_lens semantics, attention.py:60-66).
-    Returns [B, Lq, N, D] in q.dtype.
     """
+    bnld_in = qk_layout == "bnld"
+    lk = k.shape[2] if bnld_in else k.shape[1]
     backend = backend or _DEFAULT_BACKEND
     if backend == "auto":
-        backend = _resolve_auto(q, k)
+        backend = _resolve_auto(q.shape[-1], lk)
     if backend == "flash":
-        if jax.device_count() > 1:
+        if multichip_context():
+            import os
+
+            if os.environ.get("HYV_NO_CUSTOM_PARTITIONING") == "1":
+                # chipless AOT (scripts/memory_audit_14b.py): no emitter
+                # for custom_partitioning — XLA attention upper-bounds
+                return _xla_attention(q, k, v, k_valid_len, qk_layout)
             # partitionable wrapper: GSPMD/Shardy shards (batch, heads) and
             # inserts the Ulysses all_to_all around the per-device kernel
             from .flash_sharded import flash_attention_sharded
 
+            if bnld_in:
+                q = jnp.moveaxis(q, 1, 2)
+                k = jnp.moveaxis(k, 1, 2)
             return flash_attention_sharded(q, k, v, k_valid_len=k_valid_len)
         from .flash_attention import flash_attention
 
-        return flash_attention(q, k, v, k_valid_len=k_valid_len)
-    return _xla_attention(q, k, v, k_valid_len)
+        return flash_attention(q, k, v, k_valid_len=k_valid_len,
+                               qk_layout=qk_layout)
+    return _xla_attention(q, k, v, k_valid_len, qk_layout)
 
 
 def ulysses_attention(
@@ -111,7 +143,7 @@ def ulysses_attention(
         qh, kh, vh = a2a_heads(q), a2a_heads(k), a2a_heads(v)
         be = backend or _DEFAULT_BACKEND
         if be == "auto":
-            be = _resolve_auto(qh, kh, in_shard_map=True)
+            be = _resolve_auto(qh.shape[-1], kh.shape[1], in_shard_map=True)
         if be == "flash":
             # inside shard_map the kernel is already per-device: call the
             # plain kernel, never the custom_partitioning wrapper
@@ -124,18 +156,23 @@ def ulysses_attention(
         return jax.lax.all_to_all(
             o, sp_axis, split_axis=1, concat_axis=2, tiled=True)
 
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation, which the vma checker rejects inside shard_map
     return jax.shard_map(
         inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
     )(q, k, v)
 
 
-def _xla_attention(q, k, v, k_valid_len):
+def _xla_attention(q, k, v, k_valid_len, qk_layout="blnd"):
     orig_dtype = q.dtype
     d = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
     # [B, N, Lq, Lk] logits with fp32 accumulation on the MXU
+    qk_eq = ("bnqd,bnkd->bnqk" if qk_layout == "bnld"
+             else "bqnd,bknd->bnqk")
     logits = jnp.einsum(
-        "bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32
+        qk_eq, q, k, preferred_element_type=jnp.float32
     ) * scale
     if k_valid_len is not None:
         lk = k.shape[1]

@@ -123,6 +123,7 @@ def ring_attention(
 
     return jax.shard_map(
         inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
     )(q, k, v)
 
 
@@ -159,4 +160,5 @@ def usp_attention(
 
     return jax.shard_map(
         inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
     )(q, k, v)

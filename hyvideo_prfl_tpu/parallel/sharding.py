@@ -71,6 +71,8 @@ class ShardingPolicy:
     # [B, L, N, Dh] attention operands during the attention op itself:
     # heads on sp, sequence gathered (Ulysses head-swap)
     attn_heads: P = P(DATA_AXIS, None, SP_AXIS, None)
+    # [B, N, L, Dh] head-major q/k (the fused qknorm_rope output layout)
+    attn_heads_bnld: P = P(DATA_AXIS, SP_AXIS, None, None)
     # [B, L, N, Dh] qkv with tokens sharded on sp (shard_map Ulysses input)
     attn_heads_sp_tokens: P = P(DATA_AXIS, SP_AXIS, None, None)
     # [B, Lctx, D] text context: replicated over sp (short seq)
