@@ -310,3 +310,38 @@ def test_train_reward_mlp_standalone():
     params, hist = train_reward_mlp(feats, labels, epochs=20, lr=3e-3,
                                     batch_size=32)
     assert hist["val_accuracy"] >= 0.9, hist
+
+
+def test_prompt_expander_full_surface():
+    """Reference surface parity (prompt_extend.py): system-prompt dispatch
+    by (tar_lang, is_vl), seed fill-in, add_custom_field, Qwen expander
+    graceful failure without weights, VL image resize."""
+    import numpy as np
+    from hyvideo_prfl_tpu.utils import prompt_extend as pe
+
+    exp = pe.LocalPromptExpander(lambda s, u: u)
+    assert exp.decide_system_prompt("zh") == pe.LM_ZH_SYS_PROMPT
+    assert exp.decide_system_prompt("en") == pe.LM_EN_SYS_PROMPT
+    vl = pe.QwenPromptExpander(is_vl=True)
+    assert vl.decide_system_prompt("zh") == pe.VL_ZH_SYS_PROMPT
+    assert vl.decide_system_prompt("en") == pe.VL_EN_SYS_PROMPT
+    assert vl.model_name == "Qwen/Qwen2-VL-7B-Instruct"
+    assert pe.QwenPromptExpander().model_name == "Qwen/Qwen2.5-7B-Instruct"
+
+    out = exp("hi", tar_lang="en")
+    assert out.status and out.seed >= 0  # random seed filled in
+    out.add_custom_field("extra", 3)
+    assert out.extra == 3
+
+    # local Qwen without weights/network: degrade, don't crash
+    q = pe.QwenPromptExpander(model_name="/nonexistent/qwen")
+    bad = q("a cat runs", tar_lang="en")
+    assert not bad.status and bad.prompt == "a cat runs"
+
+    # VL resize: area-capped, aspect preserved
+    from PIL import Image
+
+    img = Image.fromarray(np.zeros((400, 800, 3), np.uint8))
+    small = pe._resize_for_vl(img, max_image_size=128 * 128)
+    assert small.width * small.height <= 128 * 128 + 256
+    assert abs(small.width / small.height - 2.0) < 0.1
