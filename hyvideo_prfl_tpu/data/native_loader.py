@@ -144,7 +144,11 @@ def build_native(force: bool = False) -> bool:
         os.path.abspath(__file__))))
     so = os.path.join(here, "native", "liblatentloader.so")
     if os.path.exists(so) and not force:
-        return True
+        lib = _load_lib()
+        if lib is not None and not hasattr(lib, "ll_open_stream"):
+            force = True  # stale build predating the streaming API
+        else:
+            return lib is not None
     try:
         subprocess.run(["sh", os.path.join(here, "native", "build.sh")],
                        check=True, capture_output=True)
