@@ -117,6 +117,30 @@ def constrain(x, policy: Optional[ShardingPolicy], spec_name: str):
     return jax.lax.with_sharding_constraint(x, getattr(policy, spec_name))
 
 
+def opt_state_shardings(mesh: Mesh, param_shapes, param_shardings, tx):
+    """(device, pinned_host) sharding trees for tx.init(params)' state.
+
+    Adam moments mirror the parameter tree: leaves matching a parameter
+    (shape, dtype) reuse its FSDP sharding; scalars/counters replicate.
+    The host tree is the same shardings with memory_kind='pinned_host' —
+    the storage side of optimizer-state offload (SURVEY 5.7: the 14B HBM
+    budget keeps only params + activations resident; moments stream in
+    per step)."""
+    import jax
+
+    opt_shapes = jax.eval_shape(tx.init, param_shapes)
+    flat_s = jax.tree_util.tree_leaves(param_shapes)
+    flat_sh = jax.tree_util.tree_leaves(param_shardings)
+    by_shape = {(s.shape, s.dtype): sh for s, sh in zip(flat_s, flat_sh)}
+
+    def dev_for(s):
+        return by_shape.get((s.shape, s.dtype), NamedSharding(mesh, P()))
+
+    dev = jax.tree.map(dev_for, opt_shapes)
+    host = jax.tree.map(lambda sh: sh.with_memory_kind("pinned_host"), dev)
+    return dev, host
+
+
 def fsdp_param_sharding(mesh: Mesh, params, min_size: int = 2 ** 16):
     """FSDP-style NamedShardings for a param pytree.
 

@@ -92,11 +92,22 @@ def init_train_state(params, tx) -> TrainState:
     )
 
 
-def apply_grads(state: TrainState, tx, grads) -> Tuple[TrainState, jnp.ndarray]:
-    """One optimizer update; returns (new_state, global grad norm)."""
+def apply_grads(state: TrainState, tx, grads,
+                opt_transfer=None) -> Tuple[TrainState, jnp.ndarray]:
+    """One optimizer update; returns (new_state, global grad norm).
+
+    opt_transfer: optional (device_shardings, host_shardings) trees for the
+    optimizer state — the pinned-host offload path (SURVEY 5.7): moments
+    live in host memory between steps and stream on-device only for the
+    update, freeing ~2x param bytes of HBM at 14B."""
     gnorm = optax.global_norm(grads)
-    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    opt = state.opt_state
+    if opt_transfer is not None:
+        opt = jax.device_put(opt, opt_transfer[0])
+    updates, new_opt = tx.update(grads, opt, state.params)
     new_params = optax.apply_updates(state.params, updates)
+    if opt_transfer is not None:
+        new_opt = jax.device_put(new_opt, opt_transfer[1])
     return (
         TrainState(params=new_params, opt_state=new_opt, step=state.step + 1),
         gnorm,

@@ -139,7 +139,8 @@ def select_timestep(rng, pc: PavrmConfig, schedule: fm.FlowMatchSchedule,
     )
 
 
-def make_train_step(model: PavrmModel, tx, schedule: fm.FlowMatchSchedule):
+def make_train_step(model: PavrmModel, tx, schedule: fm.FlowMatchSchedule,
+                    opt_transfer=None):
     """Build the jitted PAVRM train step.
 
     State params layout: {"blocks": <trainable dit blocks>,
@@ -203,7 +204,8 @@ def make_train_step(model: PavrmModel, tx, schedule: fm.FlowMatchSchedule):
         grads = jax.tree.map(
             lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
         )
-        new_state, gnorm = common.apply_grads(state, tx, grads)
+        new_state, gnorm = common.apply_grads(state, tx, grads,
+                                              opt_transfer=opt_transfer)
         metrics = {
             "loss": jnp.where(finite, loss, 0.0),
             "grad_norm": gnorm,

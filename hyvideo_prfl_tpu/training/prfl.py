@@ -67,7 +67,7 @@ class PrflModel:
 
 
 def make_refl_step(model: PrflModel, tx, lora_mode: bool = False,
-                   lora_scale: float = 1.0):
+                   lora_scale: float = 1.0, opt_transfer=None):
     """Build the jitted PRFL reward step.
 
     state.params = full policy DiT params. The frozen LRM tower
@@ -116,6 +116,10 @@ def make_refl_step(model: PrflModel, tx, lora_mode: bool = False,
         frozen_vel = lambda x, t: jax.lax.stop_gradient(
             velocity(jax.lax.stop_gradient(x), t)
         )
+        # NOTE: a statically-truncated scan (num_steps=fixed_mid) is
+        # numerically identical and compiles on CPU, but crashes the axon
+        # remote TPU compiler (HTTP 500, no diagnostic) — keep the traced
+        # stop_index form, whose lax.cond skips the model call at runtime.
         latent, solver_state = unipc.rollout(
             sched, frozen_vel, latent0, stop_index=mid
         )
@@ -152,7 +156,8 @@ def make_refl_step(model: PrflModel, tx, lora_mode: bool = False,
         grads = jax.tree.map(
             lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
         )
-        new_state, gnorm = common.apply_grads(state, tx, grads)
+        new_state, gnorm = common.apply_grads(state, tx, grads,
+                                              opt_transfer=opt_transfer)
         return new_state, {
             "loss": jnp.where(finite, loss, 0.0),
             "grad_norm": gnorm,
@@ -170,7 +175,7 @@ def make_refl_step(model: PrflModel, tx, lora_mode: bool = False,
 def make_sft_step(model: PrflModel, tx, schedule: fm.FlowMatchSchedule,
                   sft_cfg: Optional[PrflConfig] = None,
                   lora_mode: bool = False, lora_scale: float = 1.0,
-                  lora_base=None):
+                  lora_base=None, opt_transfer=None):
     """Flow-matching SFT step (train_prfl.py:900-1034): sample (t, sigma),
     add noise to cached data latents, MSE(v_pred, eps - x0)."""
     cfg = sft_cfg or model.cfg
@@ -207,7 +212,8 @@ def make_sft_step(model: PrflModel, tx, schedule: fm.FlowMatchSchedule,
         grads = jax.tree.map(
             lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
         )
-        new_state, gnorm = common.apply_grads(state, tx, grads)
+        new_state, gnorm = common.apply_grads(state, tx, grads,
+                                              opt_transfer=opt_transfer)
         return new_state, {"loss": jnp.where(finite, loss, 0.0),
                            "grad_norm": gnorm}
 

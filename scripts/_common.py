@@ -41,6 +41,47 @@ def build_mesh(config):
     return shd.make_mesh(data=data, sp=sp, devices=jax.devices()[: data * sp])
 
 
+def make_sharded_state(mesh, params, tx, offload_opt: bool = False):
+    """(TrainState, opt_transfer, state_shardings): params FSDP-sharded over
+    the mesh; the optimizer state optionally stored in pinned host memory
+    (training/common.apply_grads streams it on-device per step).
+
+    state_shardings pins the jitted step's out_shardings: without it GSPMD
+    picks different layouts for the donated output state than the input,
+    and every step recompiles (observed: the smoke CLIs paying the full
+    refl compile twice)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hyvideo_prfl_tpu.training import common
+
+    if mesh.devices.size <= 1:
+        return common.init_train_state(params, tx), None, None
+    pshard = shd.fsdp_param_sharding(mesh, params)
+    params = jax.device_put(params, pshard)
+    if not offload_opt:
+        state = common.init_train_state(params, tx)
+    else:
+        pshapes = jax.eval_shape(lambda: params)
+        dev, host = shd.opt_state_shardings(mesh, pshapes, pshard, tx)
+        opt_state = jax.device_put(tx.init(params), host)
+        state = common.TrainState(params=params, opt_state=opt_state,
+                                  step=jnp.zeros((), jnp.int32))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+
+    def sh_of(x):
+        # scalars (step counter, optax counts) come back single-device;
+        # out_shardings must reference the mesh uniformly
+        s = x.sharding
+        return s if isinstance(s, NamedSharding) else rep
+
+    state_shardings = jax.tree.map(sh_of, state)
+    transfer = (dev, host) if offload_opt else None
+    return state, transfer, state_shardings
+
+
 def shard_batch_fn(mesh):
     """Batch -> device_put with P("data", ...) leading-axis sharding — the
     mesh analog of the reference's per-rank DataLoader placement

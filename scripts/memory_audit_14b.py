@@ -99,32 +99,10 @@ def main():
 
     tx = common.make_optimizer(learning_rate=1e-6)
     opt_shapes = jax.eval_shape(tx.init, pshapes)
-
-    def opt_shard_for(s):
-        # optimizer state mirrors the param tree twice (adam mu/nu) plus
-        # scalars; shard the big leaves like FSDP params
-        if len(s.shape) == 0 or np.prod(s.shape) < 2 ** 16:
-            base = NamedSharding(mesh, P())
-        else:
-            base = None
-        return base
-
-    # mu/nu have the same tree structure as params: reuse param shardings
-    # where shapes match; replicate the rest
-    flat_p, _ = jax.tree_util.tree_flatten(pshard)
-    shape_to_shard = {}
-    flat_ps, _ = jax.tree_util.tree_flatten(pshapes)
-    for sh, spec in zip(flat_ps, flat_p):
-        shape_to_shard[(sh.shape, sh.dtype)] = spec
-
-    def opt_sharding(s):
-        spec = shape_to_shard.get((s.shape, s.dtype),
-                                  NamedSharding(mesh, P()))
-        if args.offload:
-            spec = spec.with_memory_kind("pinned_host")
-        return spec
-
-    opt_abs = jax.tree.map(lambda s: sds(s, opt_sharding(s)), opt_shapes)
+    opt_dev, opt_host = shd.opt_state_shardings(mesh, pshapes, pshard, tx)
+    opt_transfer = (opt_dev, opt_host) if args.offload else None
+    opt_abs = jax.tree.map(sds, opt_shapes,
+                           opt_host if args.offload else opt_dev)
     state_abs = common.TrainState(
         params=params_abs, opt_state=opt_abs,
         step=jax.ShapeDtypeStruct((), jnp.int32,
@@ -159,7 +137,7 @@ def main():
     m_abs = jax.tree.map(lambda s: sds(s, rep), m_abs)
     lrm_tower_abs = {"dit": lrm_abs, "q": q_abs, "m": m_abs}
 
-    refl = make_refl_step(model, tx)
+    refl = make_refl_step(model, tx, opt_transfer=opt_transfer)
     rng_abs = jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rep)
 
     with jax.set_mesh(mesh):
@@ -169,24 +147,24 @@ def main():
         print("compiling...", flush=True)
         compiled = lowered.compile()
     ma = compiled.memory_analysis()
-    n_dev = 8
+    # CompiledMemoryStats sizes are PER DEVICE (the SPMD executable is
+    # per-device): the measured argument bytes match the sharded
+    # params+opt+LRM expectation (~27 GB/device at 14B over 8 chips)
     per_dev = {
         "policy": args.policy,
         "offload": args.offload,
         "rollout": args.rollout,
-        "args_gb": round(ma.argument_size_in_bytes / n_dev / 2 ** 30, 2),
-        "out_gb": round(ma.output_size_in_bytes / n_dev / 2 ** 30, 2),
-        "donated_gb": round(ma.alias_size_in_bytes / n_dev / 2 ** 30, 2),
-        "temp_gb": round(ma.temp_size_in_bytes / n_dev / 2 ** 30, 2),
-        "host_args_gb": round(
-            ma.host_argument_size_in_bytes / n_dev / 2 ** 30, 2),
-        "host_temp_gb": round(
-            ma.host_temp_size_in_bytes / n_dev / 2 ** 30, 2),
+        "args_gb": round(ma.argument_size_in_bytes / 2 ** 30, 2),
+        "out_gb": round(ma.output_size_in_bytes / 2 ** 30, 2),
+        "donated_gb": round(ma.alias_size_in_bytes / 2 ** 30, 2),
+        "temp_gb": round(ma.temp_size_in_bytes / 2 ** 30, 2),
+        "host_args_gb": round(ma.host_argument_size_in_bytes / 2 ** 30, 2),
+        "host_temp_gb": round(ma.host_temp_size_in_bytes / 2 ** 30, 2),
         "code_mb": round(ma.generated_code_size_in_bytes / 2 ** 20, 1),
     }
-    # live HBM peak ~= non-donated args + donated (in-place) + temps
+    # live HBM peak ~= args + outputs + temps - donated (aliased in-place)
     live = (ma.argument_size_in_bytes - ma.alias_size_in_bytes
-            + ma.output_size_in_bytes + ma.temp_size_in_bytes) / n_dev
+            + ma.output_size_in_bytes + ma.temp_size_in_bytes)
     per_dev["hbm_peak_gb_per_device"] = round(live / 2 ** 30, 2)
     per_dev["v5p_hbm_gb"] = 95
     per_dev["fits"] = bool(live / 2 ** 30 < 95)

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from scripts._common import (
-    MetricLogger, StepTimer, build_mesh, dit_cfg_from, make_train_loader,
+    MetricLogger, StepTimer, build_mesh, dit_cfg_from, make_sharded_state,
+    make_train_loader,
 )
 from hyvideo_prfl_tpu.configs import load_config
 from hyvideo_prfl_tpu.data.dataset import LatentCacheDataset
@@ -95,7 +96,9 @@ def main(config, max_steps=None):
         max_train_steps=config.optimizer.max_train_steps,
         gradient_accumulation_steps=config.train.gradient_accumulation_steps,
     )
-    state = common.init_train_state(trainable, tx)
+    state, opt_transfer, state_shardings = make_sharded_state(
+        mesh, trainable, tx,
+        offload_opt=bool(config.train.get("offload_opt_state")))
 
     ds_type = "lrm_ce" if pc.loss == "ce" else "lrm_bt_online"
     dataset = LatentCacheDataset(
@@ -113,7 +116,8 @@ def main(config, max_steps=None):
     loader = make_train_loader(config, dataset, mesh)
 
     step_fn = make_train_step(model, tx, fm.train_schedule(
-        config.extra_model.scheduler.num_train_timesteps))
+        config.extra_model.scheduler.num_train_timesteps),
+        opt_transfer=opt_transfer)
     eval_fn = make_eval_step(model)
     val_lists = list(config.dataset.get("val_meta_file_list") or [])
     val_dataset = LatentCacheDataset(
@@ -140,7 +144,10 @@ def main(config, max_steps=None):
             logger.log(int(state.step), m, prefix=f"val_t{t_val}")
 
     with jax.set_mesh(mesh):
-        step_fn = jax.jit(step_fn, donate_argnums=(0,))
+        step_fn = jax.jit(
+            step_fn, donate_argnums=(0,),
+            out_shardings=(state_shardings, None) if state_shardings
+            else None)
         jitted_eval = jax.jit(eval_fn, static_argnums=(4,))
         timer = StepTimer()
         n_steps = max_steps or config.optimizer.max_train_steps

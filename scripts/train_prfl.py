@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from scripts._common import (
-    MetricLogger, StepTimer, build_mesh, dit_cfg_from, make_train_loader,
+    MetricLogger, StepTimer, build_mesh, dit_cfg_from, make_sharded_state,
+    make_train_loader,
 )
 from hyvideo_prfl_tpu.configs import load_config
 from hyvideo_prfl_tpu.data.dataset import LatentCacheDataset
@@ -126,9 +127,13 @@ def main(config, max_steps=None):
             rank=int(config.model.lora.lora_rank),
             target_modules=tuple(config.model.lora.target_modules),
         )
-        state = common.init_train_state(lora_params, tx)
+        state, opt_transfer, state_shardings = make_sharded_state(
+            mesh, lora_params, tx,
+            offload_opt=bool(config.train.get("offload_opt_state")))
     else:
-        state = common.init_train_state(params, tx)
+        state, opt_transfer, state_shardings = make_sharded_state(
+            mesh, params, tx,
+            offload_opt=bool(config.train.get("offload_opt_state")))
     use_ema = config.model.ema.use_ema
     # EMA tracks whatever is being trained (LoRA tree or full params)
     ema_params = ema_mod.ema_init(state.params) if use_ema else None
@@ -147,13 +152,19 @@ def main(config, max_steps=None):
         config, dataset, mesh,
         start_index=start_step % max(len(dataset), 1))
 
-    refl_fn = make_refl_step(model, tx, lora_mode=use_lora)
+    refl_fn = make_refl_step(model, tx, lora_mode=use_lora,
+                             opt_transfer=opt_transfer)
+    if mesh.devices.size > 1:
+        # frozen LRM tower rides the same FSDP layout as the policy
+        lrm_dit = jax.device_put(
+            lrm_dit, shd.fsdp_param_sharding(mesh, lrm_dit))
     lrm_tower = {"dit": lrm_dit, "q": lrm_q, "m": lrm_m}
     if use_lora:
         lrm_tower["base"] = params
     sft_fn = make_sft_step(model, tx, fm.train_schedule(
         config.extra_model.scheduler.num_train_timesteps),
-        lora_mode=use_lora, lora_base=params if use_lora else None)
+        lora_mode=use_lora, lora_base=params if use_lora else None,
+        opt_transfer=opt_transfer)
 
     sanity_dir = config.save.sanity_check_dir or os.path.join(
         out_dir, "sanity_check")
@@ -188,8 +199,12 @@ def main(config, max_steps=None):
     with jax.set_mesh(mesh):
         # donate the train state: avoids a second live copy of params +
         # optimizer state per step (the 14B memory budget depends on it)
-        refl_fn = jax.jit(refl_fn, donate_argnums=(0,))
-        sft_fn = jax.jit(sft_fn, donate_argnums=(0,))
+        # pin the donated state's output shardings to its input shardings:
+        # otherwise GSPMD may choose different layouts and every step
+        # recompiles
+        out_sh = (state_shardings, None) if state_shardings else None
+        refl_fn = jax.jit(refl_fn, donate_argnums=(0,), out_shardings=out_sh)
+        sft_fn = jax.jit(sft_fn, donate_argnums=(0,), out_shardings=out_sh)
         timer_refl, timer_sft = StepTimer(), StepTimer()
         n_steps = max_steps or config.optimizer.max_train_steps
         for step in range(start_step, n_steps):

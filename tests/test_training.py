@@ -317,3 +317,50 @@ def test_validate_params():
     bad = {"a": jnp.ones((4,)), "b": {"c": jnp.asarray([1.0, np.nan])}}
     h = common.validate_params(bad)
     assert not h["finite"] and "c" in h["bad"][0]
+
+
+def test_offload_opt_state_step():
+    """Pinned-host optimizer-state offload: make_sharded_state stores
+    moments host-side, apply_grads streams them on-device inside the jitted
+    step, and the update matches the non-offloaded step exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scripts._common import make_sharded_state
+    from hyvideo_prfl_tpu.parallel import sharding as shd
+    from hyvideo_prfl_tpu.training import common
+
+    if jax.device_count() < 8:
+        import pytest
+
+        pytest.skip("needs 8-device mesh")
+    mesh = shd.make_mesh(data=2, sp=4)
+    params = {"params": {"w": jnp.ones((256, 256)), "b": jnp.zeros((256,))}}
+    tx = common.make_optimizer(learning_rate=1e-2)
+    grads = jax.tree.map(lambda a: jnp.full_like(a, 0.1), params)
+
+    with jax.set_mesh(mesh):
+        state_off, transfer, st_sh = make_sharded_state(mesh, params, tx,
+                                                        offload_opt=True)
+        assert transfer is not None
+        assert any("pinned_host" == s.memory_kind
+                   for s in jax.tree.leaves(transfer[1]))
+        state_ref, _, _ = make_sharded_state(mesh, params, tx,
+                                             offload_opt=False)
+
+        @jax.jit
+        def step_off(state, grads):
+            return common.apply_grads(state, tx, grads,
+                                      opt_transfer=transfer)
+
+        @jax.jit
+        def step_ref(state, grads):
+            return common.apply_grads(state, tx, grads)
+
+        s1, g1 = step_off(state_off, grads)
+        s2, g2 = step_ref(state_ref, grads)
+    np.testing.assert_allclose(np.asarray(s1.params["params"]["w"]),
+                               np.asarray(s2.params["params"]["w"]),
+                               atol=1e-7)
+    assert abs(float(g1) - float(g2)) < 1e-6
