@@ -18,13 +18,27 @@ import numpy as np
 
 def read_video(path: str, num_frames: Optional[int] = None,
                target_fps: Optional[float] = None) -> Tuple[np.ndarray, float]:
-    """mp4 -> ([T, H, W, 3] uint8, fps), with optional fps resampling and
-    4n+1 frame alignment (gen_wanx_latent.py:98-115, :196-197)."""
+    """mp4 (local path or http(s) URL) -> ([T, H, W, 3] uint8, fps), with
+    optional fps resampling and 4n+1 frame alignment
+    (gen_wanx_latent.py:66-72 URL fetch, :98-115, :196-197)."""
     import imageio.v3 as iio
 
-    frames = iio.imread(path, plugin="pyav")  # [T, H, W, 3]
-    meta = iio.immeta(path, plugin="pyav")
-    fps = float(meta.get("fps", 30.0))
+    src = path
+    if path.startswith(("http://", "https://")):
+        # the reference streams remote videos through urllib into the
+        # decoder (gen_wanx_latent.py:66-72)
+        import urllib.request
+
+        with urllib.request.urlopen(
+                urllib.request.Request(path), timeout=20) as resp:
+            src = resp.read()  # bytes; imageio decodes in-memory
+    frames = iio.imread(src, plugin="pyav", extension=".mp4"
+                        if isinstance(src, bytes) else None)  # [T, H, W, 3]
+    try:
+        meta = iio.immeta(src, plugin="pyav")
+        fps = float(meta.get("fps", 30.0))
+    except Exception:
+        fps = 30.0
     if target_fps and abs(target_fps - fps) > 1e-3:
         idx = np.arange(0, len(frames), fps / target_fps).astype(np.int64)
         idx = idx[idx < len(frames)]

@@ -23,6 +23,40 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def make_t5_embedder(t5_params_path: str, tokenizer: str = "google/umt5-xxl",
+                     text_len: int = 512):
+    """embed(text) -> [1, n_tokens, 4096] fp32, or None when the weights /
+    tokenizer assets are absent. Shared by this CLI and gen_latents.py's
+    single-pass mode (the reference encodes captions in the same pass as
+    the VAE/CLIP, gen_wanx_latent.py:301-309)."""
+    if not t5_params_path or not os.path.exists(t5_params_path):
+        return None
+    import jax
+
+    from hyvideo_prfl_tpu.models import t5 as t5_mod
+    from hyvideo_prfl_tpu.utils import checkpoint as ck
+    from hyvideo_prfl_tpu.utils.tokenizers import HuggingfaceTokenizer
+
+    cfg = t5_mod.umt5_xxl()
+    params = ck.load_orbax(t5_params_path)
+    try:
+        tok = HuggingfaceTokenizer(tokenizer, seq_len=text_len,
+                                   clean="whitespace")
+    except Exception as e:  # tokenizer assets unavailable
+        logging.error("tokenizer %s unavailable: %s", tokenizer, e)
+        return None
+    encode = jax.jit(
+        lambda ids, mask: t5_mod.encode_text(params, cfg, ids, mask))
+
+    def embed(text):
+        ids, mask = tok([text], return_mask=True)
+        out = np.asarray(encode(jnp.asarray(ids), jnp.asarray(mask)))
+        n = int(mask.sum())
+        return out[:, :max(n, 1)]
+
+    return embed
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--meta_dir", required=True,
@@ -36,29 +70,11 @@ def main():
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
 
-    if not os.path.exists(args.t5_params):
+    embed = make_t5_embedder(args.t5_params, args.tokenizer, args.text_len)
+    if embed is None:
         logging.error("T5 params not found at %s — convert the released "
                       "umT5-XXL checkpoint first", args.t5_params)
         return 1
-
-    from hyvideo_prfl_tpu.models import t5 as t5_mod
-    from hyvideo_prfl_tpu.utils import checkpoint as ck
-    from hyvideo_prfl_tpu.utils.tokenizers import HuggingfaceTokenizer
-
-    cfg = t5_mod.umt5_xxl()
-    params = ck.load_orbax(args.t5_params)
-    tok = HuggingfaceTokenizer(args.tokenizer, seq_len=args.text_len,
-                               clean="whitespace")
-
-    import jax
-
-    encode = jax.jit(lambda ids, mask: t5_mod.encode_text(params, cfg, ids, mask))
-
-    def embed(text):
-        ids, mask = tok([text], return_mask=True)
-        out = np.asarray(encode(jnp.asarray(ids), jnp.asarray(mask)))
-        n = int(mask.sum())
-        return out[:, :max(n, 1)]
 
     if args.null_dir:
         os.makedirs(os.path.join(args.null_dir, "wanx"), exist_ok=True)

@@ -80,6 +80,18 @@ def main(config):
     clip_tower = clip_mod.CLIPVisionTower(clip_cfg)
     clip_params = ck.load_orbax(config.get_path("extra_model.image_encoder.params_path"))
 
+    # single-pass preprocess (reference gen_wanx_latent.py:301-309): T5
+    # captions encode in the same run when weights are configured;
+    # otherwise encode_captions.py fills the manifests in later
+    from scripts.encode_captions import make_t5_embedder
+
+    embed = make_t5_embedder(
+        config.get_path("extra_model.text_encoder.params_path") or "",
+        config.get_path("extra_model.text_encoder.tokenizer")
+        or "google/umt5-xxl",
+        int(config.get_path("extra_model.text_encoder.t5_text_len") or 512),
+    )
+
     with open(config["input_json"]) as f:
         data = json.load(f)
 
@@ -106,8 +118,18 @@ def main(config):
             np.save(paths["vae_latent_path"], latents)
             np.save(paths["f1_black_path"], f1_lat)
             np.save(paths["imgclip_path"], img_clip)
-            # T5 caption embeddings need the text tower + tokenizer assets;
-            # written by encode_captions.py when those are present.
+            if embed is not None:
+                np.save(paths["textshort_path"],
+                        embed(clip_data.get("short_caption", "")))
+                np.save(paths["textlong_path"],
+                        embed(clip_data.get(
+                            "long_caption",
+                            clip_data.get("short_caption", ""))))
+            else:
+                # T5 embeddings need the text tower + tokenizer assets;
+                # encode_captions.py fills them in when those exist
+                paths.pop("textshort_path")
+                paths.pop("textlong_path")
             meta = dict(clip_data)
             meta.update(paths)
             meta["latent_shape"] = list(latents.shape)
