@@ -226,6 +226,12 @@ def pick_blocks(lq: int, lk: int):
         return lq128, block_k
     cands = (256, 384, 512) if full_k else (384, 512)
     block_q = min(cands, key=lambda bq: (_pad_len(lq, bq), -bq))
+    # in the streaming regime k/v re-reads scale with n_q: prefer the
+    # largest block unless the padding saving is material (>4%) — at 75.6k
+    # tokens 512 vs 384 is 25% less k/v traffic for 0.17% more padding
+    big = max(cands)
+    if _pad_len(lq, big) <= _pad_len(lq, block_q) * 1.04:
+        block_q = big
     return block_q, block_k
 
 
