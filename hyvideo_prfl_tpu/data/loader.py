@@ -188,14 +188,19 @@ class DataParallelLoader:
     def __init__(self, dataset, num_replicas: int = 1, batch_size: int = 1,
                  start_index: int = 0, shuffle: bool = False, seed: int = 0,
                  sp_size: int = 1, group_by_shape: bool = False,
-                 prefetch: int = 2, to_device=None):
+                 prefetch: int = 2, to_device=None,
+                 replica_ranks: Optional[Sequence[int]] = None):
         # shape bucketing is per-stream; replicas at different buckets
         # cannot concat (mixed-shape caches under DP need per-list buckets)
         assert not (group_by_shape and num_replicas > 1), (
             "group_by_shape requires num_replicas == 1")
         self.iters = []
         self.to_device = to_device
-        for r in range(num_replicas):
+        # multi-host pods: each process streams only ITS replica rows
+        # (scripts/_common.local_replica_rows); the global batch is
+        # assembled from per-process locals by the to_device callback
+        for r in (replica_ranks if replica_ranks is not None
+                  else range(num_replicas)):
             sampler = BlockDistributedSampler(
                 len(dataset), num_replicas, r, start_index=start_index,
                 shuffle=shuffle, seed=seed,

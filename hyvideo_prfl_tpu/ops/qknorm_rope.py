@@ -319,11 +319,18 @@ def _xla_ref(x, w, c_tab, s_tab, eps, do_rope):
 
 
 def _dispatch(x, w, c_tab, s_tab, num_heads, eps, do_rope):
+    import os
+
     b, l, m = x.shape
     n = num_heads
     d = m // n
     w = w.reshape(n, d)
-    ok = d % 128 == 0 and pick_block_l(l, n, d) > 0
+    # CPU backends take the identical unfused XLA math: interpret-mode
+    # pallas is orders of magnitude slower and the kernels have dedicated
+    # coverage (tests/test_qknorm_rope.py forces the kernel path with
+    # PALLAS_INTERPRET=1)
+    cpu_skip = _interpret() and os.environ.get("PALLAS_INTERPRET") != "1"
+    ok = d % 128 == 0 and pick_block_l(l, n, d) > 0 and not cpu_skip
     if not ok:
         return _xla_ref(x, w, c_tab, s_tab, eps, do_rope)
     c_tab = c_tab.astype(jnp.float32)

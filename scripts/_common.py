@@ -82,20 +82,50 @@ def make_sharded_state(mesh, params, tx, offload_opt: bool = False):
     return state, transfer, state_shardings
 
 
+def _rows_for_process(procs, me: int) -> list:
+    """Rows of a [data, rest] process-index matrix owned entirely by `me`;
+    a row spanning processes is a layout error."""
+    local = []
+    for r in range(procs.shape[0]):
+        owners = set(int(p) for p in procs[r].ravel())
+        if me in owners:
+            assert owners == {me}, (
+                f"data row {r} spans processes {owners}; lay the mesh out "
+                "with the data axis outermost across hosts")
+            local.append(r)
+    return local
+
+
+def local_replica_rows(mesh) -> list:
+    """Data-axis rows owned by this process (multi-host pods): replica r
+    lives on mesh.devices[r, ...] (data outermost over hosts)."""
+    import numpy as np
+
+    rows = mesh.devices.reshape(mesh.shape[shd.DATA_AXIS], -1)
+    procs = np.vectorize(lambda d: d.process_index)(rows)
+    return _rows_for_process(procs, jax.process_index())
+
+
 def shard_batch_fn(mesh):
-    """Batch -> device_put with P("data", ...) leading-axis sharding — the
-    mesh analog of the reference's per-rank DataLoader placement
-    (train_prfl.py:455-464). Non-array fields (caption strings) pass
-    through."""
+    """Batch -> P("data", ...) leading-axis sharding — the mesh analog of
+    the reference's per-rank DataLoader placement (train_prfl.py:455-464).
+
+    Single-controller: plain device_put of the global batch. Multi-host
+    pods: each process supplies only its LOCAL data rows and
+    jax.make_array_from_process_local_data assembles the global array.
+    Non-array fields (caption strings) pass through."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sharding = NamedSharding(mesh, P(shd.DATA_AXIS))
+    multi_host = jax.process_count() > 1
 
     def to_device(batch):
         out = {}
         for k, v in batch.items():
             if isinstance(v, list):
                 out[k] = v
+            elif multi_host:
+                out[k] = jax.make_array_from_process_local_data(sharding, v)
             else:
                 out[k] = jax.device_put(v, sharding)
         return out
@@ -120,10 +150,15 @@ def make_train_loader(config, dataset, mesh, start_index: int = 0):
     seed = config.train.seed
     to_device = shard_batch_fn(mesh) if mesh.devices.size > 1 else None
     if data_size > 1:
+        # multi-host pods: this process iterates only its local data rows
+        # (replica_ranks); make_array_from_process_local_data assembles the
+        # global batch in shard_batch_fn
+        ranks = (local_replica_rows(mesh) if jax.process_count() > 1
+                 else list(range(data_size)))
         return iter(DataParallelLoader(
             dataset, num_replicas=data_size, batch_size=batch_size,
             start_index=start_index, shuffle=shuffle, seed=seed,
-            sp_size=sp_size, to_device=to_device,
+            sp_size=sp_size, to_device=to_device, replica_ranks=ranks,
         ))
     sampler = BlockDistributedSampler(
         len(dataset), 1, 0, start_index=start_index, shuffle=shuffle,

@@ -357,3 +357,43 @@ def test_checkpoint_key_surface_matches_released_models():
         # and the importer consumes exactly that set
         back = ck.torch_state_to_flax(state, cfg)
         assert set(back["params"].keys()) == set(params["params"].keys())
+
+
+def test_multihost_replica_row_selection():
+    """Pod data loading: each process owns whole data rows; spanning rows
+    are a layout error (scripts/_common._rows_for_process)."""
+    import numpy as np
+    import pytest
+
+    from scripts._common import _rows_for_process
+
+    # 4 data rows x 2 devices, 2 hosts, data outermost
+    procs = np.array([[0, 0], [0, 0], [1, 1], [1, 1]])
+    assert _rows_for_process(procs, 0) == [0, 1]
+    assert _rows_for_process(procs, 1) == [2, 3]
+    # a row spanning hosts must be rejected
+    bad = np.array([[0, 1], [0, 1]])
+    with pytest.raises(AssertionError):
+        _rows_for_process(bad, 0)
+
+
+def test_dataparallel_loader_replica_ranks(tmp_path):
+    """replica_ranks restricts the streams to this process's rows while
+    keeping the global num_replicas block math."""
+    import numpy as np
+
+    from hyvideo_prfl_tpu.data.loader import DataParallelLoader
+
+    class DS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.int64)}
+
+    # global replicas 4 (block=2); this "process" owns rows 2 and 3
+    dl = DataParallelLoader(DS(), num_replicas=4, batch_size=1,
+                            prefetch=0, replica_ranks=[2, 3])
+    batch = next(iter(dl))
+    # rows 2,3 -> contiguous blocks [4,5] and [6,7]; first index of each
+    np.testing.assert_array_equal(batch["x"][:, 0], [4, 6])

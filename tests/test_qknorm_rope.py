@@ -3,6 +3,8 @@ dispatch fallbacks, and the GSPMD-partitioned multi-device path.
 
 API contract (ops/qknorm_rope.py): x [B, L, dim] -> [B, N, L, D]."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +17,13 @@ from hyvideo_prfl_tpu.models.rope import (
 from hyvideo_prfl_tpu.ops import qknorm_rope as qr
 
 N, D = 2, 128
+
+
+@pytest.fixture(autouse=True)
+def _force_kernel_path(monkeypatch):
+    # the dispatcher skips interpret-mode pallas on CPU (too slow for the
+    # model-level tests); force the real kernel path here, restored per test
+    monkeypatch.setenv("PALLAS_INTERPRET", "1")
 
 
 def _unfused(x, w, cos, sin, eps=1e-6):
