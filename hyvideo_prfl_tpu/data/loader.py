@@ -126,13 +126,20 @@ class BatchIterator:
     def _gen(self):
         epoch = 0
         buckets: Dict[tuple, list] = {}
+        # partial batches carry ACROSS epochs (like the bucket dict): a
+        # replica whose block is smaller than batch_size fills its batch
+        # over several epochs instead of discarding the remainder and
+        # spinning forever (the infinite-iterator contract of the
+        # reference's VideoImageBatchIterator, data_utils.py:483-542)
+        buf = []
         while True:
             self.sampler.set_epoch(epoch)
-            buf = []
+            consumed = False
             for idx in self.sampler:
                 sample = self.dataset[idx]
                 if not self._sample_ok(sample):
                     continue
+                consumed = True
                 if self.group_by_shape:
                     key = _shape_key(sample)
                     buckets.setdefault(key, []).append(sample)
@@ -145,6 +152,13 @@ class BatchIterator:
                         buf = []
             self.sampler.start_index = 0  # subsequent epochs start at 0
             epoch += 1
+            if not consumed:
+                raise RuntimeError(
+                    "data stream made no progress in a full epoch "
+                    f"(replica {self.sampler.rank}/{self.sampler.num_replicas},"
+                    f" block {self.sampler.block}): every sample was skipped"
+                    " (sp divisibility) or the block is empty"
+                )
 
     def _worker(self):
         # propagate exceptions to the consumer instead of dying silently

@@ -29,6 +29,7 @@ submodules). Re-designed for XLA rather than translated:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Optional, Sequence, Tuple
 
@@ -76,6 +77,10 @@ class WanConfig:
     # matmul outputs (~64 MB/block at dim 1280/3120 tok: skips the forward
     # recompute in backward where memory permits; NOT for 14B@75.6k)
     remat_policy: str = "full"
+    # lax.scan unroll factor for the block stack: >1 lets XLA overlap the
+    # next layer's stacked-weight DMA with the current layer's compute
+    # (the scan itself does not prefetch xs slices)
+    scan_unroll: int = 1
 
     @property
     def head_dim(self) -> int:
@@ -119,6 +124,28 @@ def tiny_test(**kw):
     kw.setdefault("freq_dim", 32)
     kw.setdefault("text_dim", 64)
     return WanConfig(**kw)
+
+
+_BLOCK_DENSE = ("self_attn", "cross_attn", "ffn_0", "ffn_2")
+
+
+def _cast_block_dense_params(dtype, tree):
+    """Cast the blocks' dense kernels/biases to the compute dtype, leaving
+    norm scales (norm_q/k/k_img, norm3_*) and modulation in fp32. Applied to
+    the STACKED scan tree once per forward via nn.map_variables."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(tree)
+    out = {
+        path: (
+            leaf.astype(dtype)
+            if path[-1] in ("kernel", "bias")
+            and any(p in _BLOCK_DENSE for p in path)
+            else leaf
+        )
+        for path, leaf in flat.items()
+    }
+    return flax.traverse_util.unflatten_dict(out)
 
 
 def sinusoidal_embedding_1d(dim: int, position: jnp.ndarray) -> jnp.ndarray:
@@ -430,6 +457,10 @@ class WanModel(nn.Module):
             t = jnp.broadcast_to(t, (b,))
         e = sinusoidal_embedding_1d(cfg.freq_dim, t)
         e = _dense("time_0", cfg.dim, jnp.float32, init="normal02")(e)
+        # constrain BEFORE the silu: the FSDP-sharded time_0 kernel otherwise
+        # leaves this [B, dim] tensor feature-sharded and SPMD falls back to
+        # replicate-then-partition (involuntary full rematerialization)
+        e = constrain(e, policy, "time_embed")
         e = nn.silu(e)
         e = _dense("time_2", cfg.dim, jnp.float32, init="normal02")(e)
         e = constrain(e, policy, "time_embed")
@@ -489,7 +520,25 @@ class WanModel(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=n_layers,
+            unroll=min(cfg.scan_unroll, n_layers),
         )
+        if cfg.compute_dtype != jnp.float32:
+            # hoist the fp32->bf16 weight cast OUT of the scan: XLA does not
+            # lift the per-slice cast of stacked scan params, so each block
+            # otherwise re-reads fp32 weights and casts in-loop (measured
+            # +0.295 ms/block at bench scale, scripts/profile_overhead.py).
+            # Master weights stay fp32 (the reference's fp32-master +
+            # bf16-autocast arrangement, fsdp_utils.py:53-63); norm scales
+            # and adaLN modulation stay fp32 islands (model.py:339-341).
+            scan = nn.map_variables(
+                scan, "params",
+                trans_in_fn=functools.partial(
+                    _cast_block_dense_params, cfg.compute_dtype),
+                # storage side (used at init): masters are fp32
+                trans_out_fn=functools.partial(
+                    _cast_block_dense_params, jnp.float32),
+                init=True,
+            )
         blocks = block_cls(cfg, policy, name="blocks")
 
         def run_blocks(h):

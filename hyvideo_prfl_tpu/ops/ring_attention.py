@@ -12,13 +12,22 @@ device ever holds the full K/V.
 TPU-native form: `shard_map` over the sp axis; each ring step computes a
 per-block attention (Pallas flash on TPU, with the block's logsumexp) and
 merges via the standard (m, l, acc) update; `jax.lax.ppermute` rotates K/V
-blocks over ICI. Inference-path component (the reference uses USP only at
-inference); the merge math is differentiable but the recommended training
-path remains Ulysses.
+blocks over ICI.
+
+Training-grade: a custom VJP implements the ring BACKWARD pass (the ring
+attention recipe): queries and dQ stay local; K/V blocks re-rotate around
+the ring with per-block flash backward against the saved GLOBAL logsumexp,
+and the accumulated dK/dV partials ride the rotation home. Memory stays
+O(L/ring) per device in both passes — autodiff through the forward scan
+would instead checkpoint every merge step (O(L) per device), defeating the
+point of the ring. The reference only uses ring attention at inference
+(xfuser USP); the backward is this framework's extension so USP also covers
+training when sequence length exceeds the Ulysses head ceiling.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -73,10 +82,71 @@ def _block_attention_with_lse(q, k, v):
     return o.astype(jnp.float32), lse
 
 
-def _ring_inner(q, k, v, ring_axis: str):
+def _block_bwd(q, k, v, o, lse, do):
+    """Gradients of one (q block, k/v block) pair against the GLOBAL
+    logsumexp: p = exp(qk^T/sqrt(d) - lse) are the *globally normalized*
+    probabilities, so summing these partials over all k/v blocks yields
+    exactly the full-attention gradients. Shapes [B, L, N, D]; lse
+    [B, Lq, N] fp32. Returns (dq_partial, dk_blk, dv_blk)."""
+    d = q.shape[-1]
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu and d % 128 == 0:
+        from . import flash_attention as fa
+
+        b, lq, n, _ = q.shape
+        lk = k.shape[1]
+        block_q = min(fa.DEFAULT_BLOCK_Q, fa._pad_len(lq, 128))
+        block_k = min(fa.DEFAULT_BLOCK_K, fa._pad_len(lk, 128))
+        lq_p = fa._pad_len(lq, block_q)
+        lk_p = fa._pad_len(lk, block_k)
+
+        def bnld(x, lp, fill=0.0):
+            x = jnp.moveaxis(x, 2, 1).reshape(b * n, x.shape[1], d)
+            if lp != x.shape[1]:
+                x = jnp.pad(x, ((0, 0), (0, lp - x.shape[1]), (0, 0)),
+                            constant_values=fill)
+            return x
+
+        # padded q rows: o/do pad to 0 => delta 0 and dv/dk contributions 0;
+        # lse pads large-positive so p underflows to 0 (no overflow)
+        lse_p = jnp.broadcast_to(
+            lse.transpose(0, 2, 1).reshape(b * n, lq)[:, :, None],
+            (b * n, lq, 128),
+        )
+        if lq_p != lq:
+            lse_p = jnp.pad(lse_p, ((0, 0), (0, lq_p - lq), (0, 0)),
+                            constant_values=1e9)
+        valid = jnp.full((b * n,), lk, jnp.int32)
+        res = (bnld(q, lq_p), bnld(k, lk_p), bnld(v, lk_p), valid,
+               bnld(o, lq_p), lse_p)
+        dq, dk, dv, _ = fa._flash_bwd(
+            block_q, block_k, lk_p != lk, res, bnld(do, lq_p)
+        )
+
+        def undo(x, l):
+            return jnp.moveaxis(x[:, :l].reshape(b, n, l, d), 1, 2)
+
+        return undo(dq, lq), undo(dk, lk), undo(dv, lk)
+
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    s = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse.transpose(0, 2, 1)[..., None])  # [B, N, Lq, Lk]
+    do32 = do.astype(jnp.float32)
+    delta = jnp.sum(do32 * o.astype(jnp.float32), axis=-1)  # [B, Lq, N]
+    dv = jnp.einsum("bnqk,bqnd->bknd", p, do32)
+    dp = jnp.einsum("bqnd,bknd->bnqk", do32, v.astype(jnp.float32))
+    ds = p * (dp - delta.transpose(0, 2, 1)[..., None]) * scale
+    dq = jnp.einsum("bnqk,bknd->bqnd", ds, k.astype(jnp.float32))
+    dk = jnp.einsum("bnqk,bqnd->bknd", ds, q.astype(jnp.float32))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _ring_fwd_inner(q, k, v, ring_axis: str):
     """Per-device ring attention body (call inside shard_map): queries stay
     local, K/V blocks rotate around `ring_axis` via ppermute with an
-    online-softmax merge."""
+    online-softmax merge. Returns (o [B, Lq, N, D] in q.dtype, global
+    lse [B, Lq, N] fp32)."""
     n_ring = jax.lax.axis_size(ring_axis)
     perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
 
@@ -100,7 +170,51 @@ def _ring_inner(q, k, v, ring_axis: str):
     (k_f, v_f, o, lse), _ = jax.lax.scan(
         body, (k, v, o0, lse0), None, length=n_ring - 1
     )
-    return o.astype(q.dtype)
+    return o.astype(q.dtype), lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ring_inner(q, k, v, ring_axis: str):
+    o, _ = _ring_fwd_inner(q, k, v, ring_axis)
+    return o
+
+
+def _ring_inner_fwd(q, k, v, ring_axis: str):
+    o, lse = _ring_fwd_inner(q, k, v, ring_axis)
+    return o, (q, k, v, o, lse)
+
+
+def _ring_inner_bwd(ring_axis, res, do):
+    """Ring backward: K/V blocks re-rotate; dK/dV partials accumulate while
+    riding the SAME rotation, so after the full circle each block's gradient
+    arrives back at its home device. dQ accumulates locally."""
+    q, k, v, o, lse = res
+    n_ring = jax.lax.axis_size(ring_axis)
+    perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
+
+    dq, dk, dv = [g.astype(jnp.float32)
+                  for g in _block_bwd(q, k, v, o, lse, do)]
+
+    def body(carry, _):
+        k_blk, v_blk, dk_blk, dv_blk, dq_acc = carry
+        k_blk = jax.lax.ppermute(k_blk, ring_axis, perm)
+        v_blk = jax.lax.ppermute(v_blk, ring_axis, perm)
+        dk_blk = jax.lax.ppermute(dk_blk, ring_axis, perm)
+        dv_blk = jax.lax.ppermute(dv_blk, ring_axis, perm)
+        dq_b, dk_b, dv_b = _block_bwd(q, k_blk, v_blk, o, lse, do)
+        return (k_blk, v_blk, dk_blk + dk_b, dv_blk + dv_b,
+                dq_acc + dq_b), None
+
+    (k_f, v_f, dk, dv, dq), _ = jax.lax.scan(
+        body, (k, v, dk, dv, dq), None, length=n_ring - 1
+    )
+    # one final rotation returns each accumulated dK/dV block home
+    dk = jax.lax.ppermute(dk, ring_axis, perm)
+    dv = jax.lax.ppermute(dv, ring_axis, perm)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_ring_inner.defvjp(_ring_inner_fwd, _ring_inner_bwd)
 
 
 def ring_attention(

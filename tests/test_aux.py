@@ -289,6 +289,66 @@ def test_ring_attention_matches_full(devices8):
                                atol=3e-5, rtol=3e-5)
 
 
+def test_ring_attention_backward_matches_full(devices8):
+    """Training-grade ring: the custom-VJP ring backward (rotating dK/dV
+    partials, local dQ) equals full-attention gradients for q, k AND v."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from hyvideo_prfl_tpu.ops.attention import _xla_attention
+    from hyvideo_prfl_tpu.ops.ring_attention import ring_attention
+    from hyvideo_prfl_tpu.parallel import sharding as shd
+
+    mesh = shd.make_mesh(data=2, sp=4)
+    b, l, n, d = 2, 64, 4, 32
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = jax.random.normal(ks[0], (b, l, n, d))
+    k = jax.random.normal(ks[1], (b, l, n, d))
+    v = jax.random.normal(ks[2], (b, l, n, d))
+    w = jax.random.normal(ks[3], (b, l, n, d))  # non-uniform cotangent
+
+    ref_grads = jax.grad(
+        lambda q, k, v: jnp.sum(_xla_attention(q, k, v, None) * w),
+        argnums=(0, 1, 2))(q, k, v)
+    with jax.set_mesh(mesh):
+        spec = NamedSharding(mesh, P("data", "sp", None, None))
+        qs, ks_, vs, ws = (jax.device_put(x, spec) for x in (q, k, v, w))
+        grads = jax.jit(jax.grad(
+            lambda q, k, v: jnp.sum(ring_attention(q, k, v) * ws),
+            argnums=(0, 1, 2)))(qs, ks_, vs)
+    for g, r in zip(grads, ref_grads):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_usp_attention_backward_matches_full(devices8):
+    """USP (ring x ulysses) gradients: all_to_all head swap + ring backward
+    == full-attention gradients."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from hyvideo_prfl_tpu.ops.attention import _xla_attention
+    from hyvideo_prfl_tpu.ops.ring_attention import usp_attention
+    from hyvideo_prfl_tpu.parallel import sharding as shd
+
+    mesh = shd.make_usp_mesh(data=2, ring=2, ulysses=2)
+    b, l, n, d = 2, 64, 4, 32
+    ks = jax.random.split(jax.random.PRNGKey(9), 4)
+    q = jax.random.normal(ks[0], (b, l, n, d))
+    k = jax.random.normal(ks[1], (b, l, n, d))
+    v = jax.random.normal(ks[2], (b, l, n, d))
+    w = jax.random.normal(ks[3], (b, l, n, d))
+
+    ref_grads = jax.grad(
+        lambda q, k, v: jnp.sum(_xla_attention(q, k, v, None) * w),
+        argnums=(0, 1, 2))(q, k, v)
+    with jax.set_mesh(mesh):
+        spec = NamedSharding(mesh, P("data", ("ring", "sp"), None, None))
+        qs, ks_, vs, ws = (jax.device_put(x, spec) for x in (q, k, v, w))
+        grads = jax.jit(jax.grad(
+            lambda q, k, v: jnp.sum(usp_attention(q, k, v) * ws),
+            argnums=(0, 1, 2)))(qs, ks_, vs)
+    for g, r in zip(grads, ref_grads):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_eval_prompt_dataset(tmp_path):
     import json as _json
     from hyvideo_prfl_tpu.data.dataset import EvalPromptDataset

@@ -377,6 +377,26 @@ def test_multihost_replica_row_selection():
         _rows_for_process(bad, 0)
 
 
+def test_batch_iterator_carries_partial_batch_across_epochs():
+    """A replica block smaller than batch_size must fill its batch across
+    epoch boundaries (never silently spin). Regression: smoke_pavrm_i2v
+    (6 samples, 8 data replicas, batch_size 2) hung forever."""
+    import numpy as np
+
+    from hyvideo_prfl_tpu.data.loader import DataParallelLoader
+
+    class DS:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.int64)}
+
+    dl = DataParallelLoader(DS(), num_replicas=8, batch_size=2, prefetch=0)
+    batch = next(iter(dl))
+    assert batch["x"].shape == (16, 2)  # 8 replicas x bs 2
+
+
 def test_dataparallel_loader_replica_ranks(tmp_path):
     """replica_ranks restricts the streams to this process's rows while
     keeping the global num_replicas block math."""
