@@ -309,3 +309,230 @@ def init_vae_params(cfg: VAEConfig, rng, t=5, h=32, w=32):
     model = WanVAE(cfg)
     x = jnp.zeros((1, t, h, w, 3), jnp.float32)
     return model.init(rng, x)
+
+
+# ---------------------------------------------------------------------------
+# Streaming (chunked) decode — bounded memory for long / high-res clips
+# ---------------------------------------------------------------------------
+# The whole-clip decode above holds full-resolution activations for the
+# entire clip (e.g. 96ch x 81f x 480p fp32 ≈ 11 GB per tensor): fine on a
+# v5p, OOM on small chips. This is the TPU equivalent of the reference's
+# per-conv feat_cache streaming (vae.py:545-569): decode ONE latent frame
+# per step, carrying each causal conv's last CACHE_T=2 input frames as
+# explicit state. Exact — streaming == whole-clip (test_vae.py pins it).
+#
+# Implementation: a pure function that mirrors Decoder3d layer-by-layer
+# over the SAME param tree (names must match Decoder3d; the equivalence
+# test catches drift). Two chunk shapes exist (frame 0 emits 1 frame,
+# steady-state chunks emit 4), so jit compiles exactly two variants.
+
+
+def _conv3d(p, x, temporal_pad=0, spatial="SAME", strides=(1, 1, 1)):
+    """flax-Conv-compatible conv_general_dilated on a param dict."""
+    k = p["kernel"]
+    kt, kh, kw = k.shape[0], k.shape[1], k.shape[2]
+    if spatial == "SAME":
+        pad = [(temporal_pad, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)]
+    else:
+        pad = [(temporal_pad, 0), (0, 0), (0, 0)]
+    y = jax.lax.conv_general_dilated(
+        x, k, window_strides=strides, padding=pad,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return y + p["bias"]
+
+
+class _Stream:
+    """Per-conv temporal cache dict keyed by layer path."""
+
+    def __init__(self, state=None):
+        self.state = {} if state is None else dict(state)
+
+    def causal(self, p, name, x, cache_t=2):
+        """Causal kt=3 conv: prepend the cached last-2 input frames (zeros
+        on the first chunk = the left pad), VALID in time."""
+        cache = self.state.get(name)
+        if cache is None:
+            b, _, h, w, c = x.shape
+            cache = jnp.zeros((b, cache_t, h, w, c), x.dtype)
+        xin = jnp.concatenate([cache, x], axis=1)
+        self.state[name] = xin[:, -cache_t:]
+        return _conv3d(p, xin, temporal_pad=0)
+
+
+def _res_block_stream(p, st, prefix, x):
+    h = _rms_norm_vae(x, p["norm1_gamma"])
+    h = nn.silu(h)
+    h = st.causal(p["conv1"], f"{prefix}/conv1", h)
+    h = _rms_norm_vae(h, p["norm2_gamma"])
+    h = nn.silu(h)
+    h = st.causal(p["conv2"], f"{prefix}/conv2", h)
+    if "shortcut" in p:
+        x = _conv3d(p["shortcut"], x)
+    return x + h
+
+
+def _attn_stream(p, x):
+    b, t, h, w, c = x.shape
+    y = _rms_norm_vae(x, p["norm_gamma"]).reshape(b * t, h * w, c)
+    qkv = y @ p["to_qkv"]["kernel"] + p["to_qkv"]["bias"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits / jnp.sqrt(jnp.asarray(c, jnp.float32))
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bqk,bkc->bqc", probs, v,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    o = o @ p["proj"]["kernel"] + p["proj"]["bias"]
+    return x + o.reshape(b, t, h, w, c)
+
+
+def _upsample_stream(p, st, prefix, x, temporal, first):
+    b, t, h, w, c = x.shape
+    if temporal and not first:
+        # steady chunks: every frame doubles via the 2C split-interleave.
+        # The zeroed frame-0 stream value (the 'Rep' semantics,
+        # vae.py:104-138) coincides with the zero cache init, so the first
+        # chunk (frame 0, bypassing un-doubled) never runs the time conv
+        # and still leaves the correct cache state.
+        y = st.causal(p["time_conv"], f"{prefix}/time_conv", x)
+        y = y.reshape(b, t, h, w, 2, c)
+        x = jnp.moveaxis(y, 4, 2).reshape(b, t * 2, h, w, c)
+    x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+    return _conv3d(p["conv_spatial"], x)
+
+
+def _decode_chunk(params, z, state, *, cfg: VAEConfig, first: bool):
+    """Decode `z` [B, Tc, h, w, zdim] latent frames given stream state;
+    returns (frames, new_state). Mirrors WanVAE.decode + Decoder3d."""
+    p = params["params"]
+    st = _Stream(state)
+    mean, std = (jnp.asarray(LATENT_MEAN), jnp.asarray(LATENT_STD)) \
+        if cfg.z_dim == 16 else (jnp.zeros((cfg.z_dim,)), jnp.ones((cfg.z_dim,)))
+    x = z.astype(jnp.float32) * std + mean
+    x = _conv3d(p["conv2"], x)  # 1x1 bottleneck conv (kt=1: no cache)
+
+    d = p["decoder"]
+    mult = tuple(cfg.dim_mult)
+    x = st.causal(d["conv1"], "conv1", x)
+    x = _res_block_stream(d["mid_block_0"], st, "mid_block_0", x)
+    x = _attn_stream(d["mid_attn"], x)
+    x = _res_block_stream(d["mid_block_1"], st, "mid_block_1", x)
+    bi = 0
+    ups = cfg.temporal_upsample
+    for i in range(len(mult)):
+        for _ in range(cfg.num_res_blocks + 1):
+            x = _res_block_stream(d[f"block_{bi}"], st, f"block_{bi}", x)
+            bi += 1
+        if i != len(mult) - 1:
+            x = _upsample_stream(d[f"up_{i}"], st, f"up_{i}", x,
+                                 temporal=ups[i], first=first)
+    x = _rms_norm_vae(x, d["head_norm_gamma"])
+    x = nn.silu(x)
+    x = st.causal(d["head_conv"], "head_conv", x)
+    return jnp.clip(x.astype(jnp.float32), -1.0, 1.0), st.state
+
+
+def _downsample_stream(p, st, prefix, x, temporal, first):
+    """Streaming Downsample (vae.py:144-160): spatial stride-2 conv per
+    frame, then (if temporal) frame-0 bypass + k3 stride-2 time conv whose
+    windows sit at even global positions. Steady-state chunks deliver an
+    even number of frames; a 1-frame cache keeps the window phase: with
+    cache [s_{2k}] and chunk [s_{2k+1}, s_{2k+2}, ...], VALID stride-2
+    windows land at (s_{2k}, s_{2k+1}, s_{2k+2}), (s_{2k+2}, ...) — the
+    even positions."""
+    xs = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
+    xs = _conv3d(p["conv_spatial"], xs, spatial="VALID",
+                 strides=(1, 2, 2))
+    if not temporal:
+        return xs
+    name = f"{prefix}/time_conv"
+    if first:
+        st.state[name] = xs[:, -1:]
+        return xs  # frame 0 bypasses the time conv
+    xin = jnp.concatenate([st.state[name], xs], axis=1)
+    st.state[name] = xin[:, -1:]
+    y = jax.lax.conv_general_dilated(
+        xin, p["time_conv"]["kernel"], window_strides=(2, 1, 1),
+        padding=[(0, 0), (0, 0), (0, 0)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ) + p["time_conv"]["bias"]
+    return y
+
+
+def _encode_chunk(params, x, state, *, cfg: VAEConfig, first: bool):
+    """Encode `x` [B, Tc, H, W, 3] pixel frames (Tc=1 first, then chunks of
+    4) given stream state; returns (latent frames, new_state). Mirrors
+    WanVAE.encode + Encoder3d."""
+    p = params["params"]
+    st = _Stream(state)
+    e = p["encoder"]
+    dims = [cfg.dim * u for u in (1,) + tuple(cfg.dim_mult)]
+    h = st.causal(e["conv1"], "conv1", x.astype(cfg.compute_dtype))
+    bi = 0
+    for i in range(len(cfg.dim_mult)):
+        for _ in range(cfg.num_res_blocks):
+            h = _res_block_stream(e[f"block_{bi}"], st, f"block_{bi}", h)
+            bi += 1
+        if i != len(cfg.dim_mult) - 1:
+            h = _downsample_stream(e[f"down_{i}"], st, f"down_{i}", h,
+                                   temporal=cfg.temporal_downsample[i],
+                                   first=first)
+    h = _res_block_stream(e["mid_block_0"], st, "mid_block_0", h)
+    h = _attn_stream(e["mid_attn"], h)
+    h = _res_block_stream(e["mid_block_1"], st, "mid_block_1", h)
+    h = _rms_norm_vae(h, e["head_norm_gamma"])
+    h = nn.silu(h)
+    h = st.causal(e["head_conv"], "head_conv", h)
+    out = _conv3d(p["conv1"], h)  # 1x1 bottleneck (kt=1: no cache)
+    mu = jnp.split(out, 2, axis=-1)[0]
+    mean, std = (jnp.asarray(LATENT_MEAN), jnp.asarray(LATENT_STD)) \
+        if cfg.z_dim == 16 else (jnp.zeros((cfg.z_dim,)), jnp.ones((cfg.z_dim,)))
+    return (mu.astype(jnp.float32) - mean) / std, st.state
+
+
+def encode_streaming(params, cfg: VAEConfig, video,
+                     frames_per_chunk: int = 4):
+    """Memory-bounded encode: pixel frames stream 1 + 4k at a time (the
+    reference's chunk pattern, vae.py:517-543), each steady chunk emitting
+    latent frames. frames_per_chunk must be a multiple of the temporal
+    stride (4 for the shipped config). Exactly equals WanVAE.encode."""
+    t_stride = 2 ** sum(cfg.temporal_downsample)
+    assert frames_per_chunk % t_stride == 0, (
+        f"chunk {frames_per_chunk} must divide by temporal stride {t_stride}")
+    fn = jax.jit(_encode_chunk, static_argnames=("cfg", "first"))
+    outs = []
+    state = {}
+    t = video.shape[1]
+    i = 0
+    while i < t:
+        n = 1 if i == 0 else min(frames_per_chunk, t - i)
+        out, state = fn(params, video[:, i:i + n], state, cfg=cfg,
+                        first=(i == 0))
+        outs.append(out)
+        i += n
+    return jnp.concatenate(outs, axis=1)
+
+
+def decode_streaming(params, cfg: VAEConfig, z, frames_per_chunk: int = 1):
+    """Memory-bounded decode: latent frames stream through the decoder
+    `frames_per_chunk` at a time (frame 0 always alone — its chunk shape
+    differs). Peak memory is O(chunk) instead of O(clip). Exactly equals
+    WanVAE.decode (the reference's chunked feat_cache path, vae.py:545-569).
+
+    Params are jit ARGUMENTS (never closed over: the remote-compile
+    backend rejects >~100MB HLO literal uploads). jit caches one variant
+    per (chunk shape, state structure): 3 compiles in the common case.
+    """
+    fn = jax.jit(_decode_chunk, static_argnames=("cfg", "first"))
+    outs = []
+    state = {}
+    t = z.shape[1]
+    i = 0
+    while i < t:
+        n = 1 if i == 0 else min(frames_per_chunk, t - i)
+        out, state = fn(params, z[:, i:i + n], state, cfg=cfg,
+                        first=(i == 0))
+        outs.append(out)
+        i += n
+    return jnp.concatenate(outs, axis=1)

@@ -47,7 +47,21 @@ def load_orbax(path: str, like: Optional[Any] = None) -> Any:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     if like is None:
-        return ckptr.restore(path)
+        # Restore onto the CURRENT backend: a bare restore() replays the
+        # shardings recorded at save time, which fails across backends
+        # (e.g. a CPU-saved encoder checkpoint loaded on TPU raises
+        # "Device TFRT_CPU_0 was not found"). Rebuild the target from the
+        # saved metadata with a local single-device sharding instead.
+        meta = ckptr.metadata(path).item_metadata
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+        def to_target(m):
+            if hasattr(m, "shape") and hasattr(m, "dtype"):
+                return jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                            sharding=sharding)
+            return m
+
+        return ckptr.restore(path, jax.tree.map(to_target, meta))
     target = jax.tree.map(ocp.utils.to_shape_dtype_struct, like)
     return ckptr.restore(path, target)
 

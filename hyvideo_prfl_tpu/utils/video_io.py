@@ -91,6 +91,23 @@ def cache_video(video_m1_1: np.ndarray, path: str, fps: int = 15,
             return path
         except Exception as e:  # noqa: BLE001
             logging.warning("cache_video attempt %d failed: %s", attempt, e)
+            break  # missing codec backend fails identically every retry
+    # imageio needs an ffmpeg/pyav backend for mp4; cv2 ships its own
+    # codecs — use it as the writer fallback (air-gapped images)
+    try:
+        import cv2
+
+        h, w = frames.shape[1:3]
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+        if not vw.isOpened():
+            raise RuntimeError("cv2.VideoWriter failed to open")
+        for f in frames:
+            vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        vw.release()
+        return path
+    except Exception as e:  # noqa: BLE001
+        logging.warning("cache_video cv2 fallback failed: %s", e)
     return None
 
 

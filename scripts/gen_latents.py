@@ -35,14 +35,23 @@ from hyvideo_prfl_tpu.utils.video_io import (
 )
 
 
-def encode_clip_data(vae, vae_params, clip_tower, clip_params, video_m1_1):
-    """video [T,H,W,3] -> (latents [1,C,T',h,w], f1_black, img_clip)."""
+def encode_clip_data(vae, vae_params, clip_tower, clip_params, video_m1_1,
+                     stream_over_frames: int = 33):
+    """video [T,H,W,3] -> (latents [1,C,T',h,w], f1_black, img_clip).
+
+    Long clips encode through the chunked streaming path (bounded memory,
+    the reference's 1+4k feat_cache pattern, vae.py:517-543); short clips
+    compile once whole-clip."""
     v = jnp.asarray(video_m1_1)[None]  # [1,T,H,W,3]
-    latents = vae.apply(vae_params, v, method=vae.encode)
+    if v.shape[1] > stream_over_frames:
+        enc = lambda x: vae_mod.encode_streaming(vae_params, vae.cfg, x)
+    else:
+        enc = lambda x: vae.apply(vae_params, x, method=vae.encode)
+    latents = enc(v)
     # first-frame conditioning: [first, zeros...] through the same encoder
     f1 = jnp.concatenate(
         [v[:, :1], jnp.zeros_like(v[:, 1:])], axis=1)
-    f1_lat = vae.apply(vae_params, f1, method=vae.encode)
+    f1_lat = enc(f1)
     img = clip_mod.preprocess_frames(np.asarray(v[0, :1]))
     img_clip = clip_tower.apply(clip_params, jnp.asarray(img))
     # to the reference [1, C, T, H, W] layout

@@ -68,6 +68,11 @@ def args_init():
                         "the USP sequence mesh (inference_prfl.py:71-82)")
     p.add_argument("--save_file", default="out.mp4")
     p.add_argument("--vae_params", default=None)
+    p.add_argument("--decode_chunk", type=int, default=-1,
+                   help="latent frames per streaming-decode chunk "
+                        "(bounded memory; the reference's feat_cache path)."
+                        " 0 = whole-clip decode; -1 (default) = auto: "
+                        "stream for clips over 5 latent frames")
     args = p.parse_args()
     # smart defaults (arguments.py:196-207)
     if args.sample_steps is None:
@@ -168,14 +173,65 @@ def main():
             lat = pipe.generate(rng, ctx, ctx_null, clip, cond, gen)
 
     logging.info("latents: %s", lat.shape)
+    # fetch the (small) latents to host BEFORE any decode attempt, then
+    # release the DiT: 14B/1.3B fp32 weights + their bf16 compute copies
+    # would otherwise stay resident in HBM through the VAE decode (the
+    # reference's offload_model=True teardown, text2video.py) — and on
+    # backends that only free buffers at process exit, a failed decode
+    # leaves the device heap exhausted for any later fetch.
+    lat = np.asarray(lat)
+    del pipe
+    params = None
+    ctx = ctx_null = None
+    jax.clear_caches()
+    import gc
+
+    gc.collect()
     if args.vae_params and os.path.exists(args.vae_params):
         from hyvideo_prfl_tpu.models import vae as vae_mod
 
-        vae = vae_mod.WanVAE(vae_mod.VAEConfig())
+        vae_cfg = vae_mod.VAEConfig()
+        vae = vae_mod.WanVAE(vae_cfg)
         vae_params = ck.load_orbax(args.vae_params)
-        video = vae.apply(vae_params, lat, method=vae.decode)
-        cache_video(np.asarray(video[0]), args.save_file)
-        logging.info("wrote %s", args.save_file)
+        chunk = args.decode_chunk
+        if chunk < 0:
+            chunk = 1 if lat.shape[1] > 5 else 0
+        try:
+            if chunk > 0:
+                video = vae_mod.decode_streaming(vae_params, vae_cfg, lat,
+                                                 frames_per_chunk=chunk)
+            else:
+                video = vae.apply(vae_params, lat, method=vae.decode)
+            video = np.asarray(jax.block_until_ready(video))
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            # some backends don't release the sampling phase's buffers
+            # until process exit: decode in a fresh process instead
+            logging.warning("in-process decode OOM; re-running decode in "
+                            "a fresh process (scripts/decode_latents.py)")
+            import subprocess
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".npy") as f:
+                np.save(f.name, np.asarray(lat))
+                rc = subprocess.run([
+                    sys.executable,
+                    os.path.join(os.path.dirname(__file__),
+                                 "decode_latents.py"),
+                    "--latents", f.name, "--vae_params", args.vae_params,
+                    "--save_file", args.save_file,
+                    "--decode_chunk", str(max(chunk, 1)),
+                ]).returncode
+            return rc
+        written = cache_video(video[0], args.save_file)
+        if written:
+            logging.info("wrote %s", written)
+        else:
+            fallback = args.save_file.replace(".mp4", "_frames.npy")
+            np.save(fallback, video[0])
+            logging.error("mp4 write failed (no codec backend); wrote "
+                          "raw frames to %s", fallback)
     else:
         np.save(args.save_file.replace(".mp4", "_latents.npy"),
                 np.asarray(lat))

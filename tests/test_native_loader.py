@@ -159,17 +159,23 @@ def test_stream_throughput_vs_numpy(built, tmp_path):
         np.save(p, a)
         paths.append(str(p))
 
-    t0 = time.perf_counter()
-    for _ in range(5):
-        ref = [np.load(p) for p in paths]
-    t_np = time.perf_counter() - t0
+    # best-of-3 on both sides: wall-clock assertions are otherwise flaky
+    # when the machine is saturated (the worker pool competes for cores)
+    t_np = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(5):
+            ref = [np.load(p) for p in paths]
+        t_np = min(t_np, time.perf_counter() - t0)
 
     st = NativeStream(slots=16, threads=4)
     st.read_many(paths)  # warm page cache symmetric with numpy loop above
-    t0 = time.perf_counter()
-    for _ in range(5):
-        out = st.read_many(paths)
-    t_native = time.perf_counter() - t0
+    t_native = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = st.read_many(paths)
+        t_native = min(t_native, time.perf_counter() - t0)
     st.close()
     for got, want in zip(out, ref):
         np.testing.assert_array_equal(got, want)

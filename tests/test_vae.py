@@ -129,3 +129,33 @@ def test_vae_spatial_shard_matches_single_device(devices8):
                       )(params, z_s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_streaming_decode_matches_whole_clip(full_vae):
+    """decode_streaming (per-conv cache, chunked frames) == whole-clip
+    decode — the reference's feat_cache path (vae.py:545-569) as explicit
+    scan state. Covers frame-0 bypass, the zeroed 'Rep' stream, and both
+    temporal upsample stages."""
+    cfg, params = full_vae
+    model = vae_mod.WanVAE(cfg)
+    z = jax.random.normal(jax.random.PRNGKey(5), (1, 5, 4, 4, 16)) * 0.3
+    ref = model.apply(params, z, method=model.decode)
+    for chunk in (1, 2):
+        out = vae_mod.decode_streaming(params, cfg, z,
+                                       frames_per_chunk=chunk)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_streaming_encode_matches_whole_clip(full_vae):
+    """encode_streaming (1 + 4k pixel-frame chunks, per-conv cache) ==
+    whole-clip encode — the reference's chunked encode (vae.py:517-543)."""
+    cfg, params = full_vae
+    model = vae_mod.WanVAE(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, 9, 32, 32, 3)) * 0.5
+    ref = model.apply(params, x, method=model.encode)
+    out = vae_mod.encode_streaming(params, cfg, x, frames_per_chunk=4)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
