@@ -1,0 +1,128 @@
+"""On-hardware kernel validation: run the Pallas/Mosaic kernels on the real
+TPU chip and compare against plain-XLA formulas.
+
+CPU tests (tests/, interpret-mode pallas) prove the math; this script
+proves the MOSAIC LOWERINGS — run it after touching any kernel or after a
+toolchain bump. Exits non-zero on any tolerance failure.
+
+Checks:
+  1. flash attention fwd vs XLA attention (bf16 kernel tolerance)
+  2. flash attention bwd (dq/dk/dv) vs XLA autodiff
+  3. fused qk-RMSNorm+RoPE vs the unfused XLA chain
+  4. ring _block_bwd (flash-bwd against a global lse) vs the einsum formula
+  5. DPM++ rollout jit == eager per-step (the axon while-loop miscompile
+     class — see CLAUDE.md)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FAILED = []
+
+
+def check(name, got, want, atol, rtol=None):
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    m = float(np.max(np.abs(got - want)))
+    rel = m / (float(np.max(np.abs(want))) + 1e-9)
+    ok = m <= atol or (rtol is not None and rel <= rtol)
+    print(f"{'PASS' if ok else 'FAIL'} {name}: max|diff|={m:.3e} rel={rel:.3e}")
+    if not ok:
+        FAILED.append(name)
+
+
+def main():
+    print("backend:", jax.default_backend(), jax.devices()[0])
+
+    # ---- 1+2: flash attention fwd + bwd -----------------------------------
+    from hyvideo_prfl_tpu.ops.attention import _xla_attention
+    from hyvideo_prfl_tpu.ops.flash_attention import flash_attention
+
+    b, l, n, d = 1, 640, 4, 128
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q, k, v, w = (jax.random.normal(kk, (b, l, n, d), jnp.bfloat16)
+                  for kk in ks)
+    ref = _xla_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                         v.astype(jnp.float32), None)
+    out = jax.jit(flash_attention)(q, k, v)
+    check("flash_fwd", out, ref, atol=2e-2, rtol=2e-2)
+
+    loss_flash = lambda q, k, v: jnp.sum(
+        flash_attention(q, k, v).astype(jnp.float32) * w.astype(jnp.float32))
+    loss_xla = lambda q, k, v: jnp.sum(
+        _xla_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                       v.astype(jnp.float32), None)
+        * w.astype(jnp.float32))
+    g_flash = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+    g_xla = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(q, k, v)
+    for name, a, r in zip(("dq", "dk", "dv"), g_flash, g_xla):
+        check(f"flash_bwd_{name}", a, r, atol=5e-2, rtol=2e-2)
+
+    # ---- 3: fused qk-RMSNorm+RoPE -----------------------------------------
+    from hyvideo_prfl_tpu.ops import qknorm_rope as qr
+    from hyvideo_prfl_tpu.models.rope import rope_tables_rolled
+
+    dim = n * d
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, l, dim), jnp.bfloat16)
+    wq = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(6), (dim,))
+    cos, sin = rope_tables_rolled((4, 8, 20), d)
+    fused = jax.jit(lambda x, w: qr.rmsnorm_rope(x, w, cos, sin, n, 1e-6)
+                    )(x, wq)
+    ref_q = qr._xla_ref(x, wq.reshape(n, d), cos.astype(jnp.float32),
+                        sin.astype(jnp.float32), 1e-6, True)
+    check("qknorm_rope", fused, ref_q, atol=2e-2, rtol=2e-2)
+
+    # ---- 4: ring per-block backward ---------------------------------------
+    from hyvideo_prfl_tpu.ops import ring_attention as ra
+
+    o32, lse = ra._block_attention_with_lse(q.astype(jnp.float32),
+                                            k.astype(jnp.float32),
+                                            v.astype(jnp.float32))
+    o = o32
+    do = w.astype(jnp.float32)
+    tpu = jax.jit(ra._block_bwd)(q.astype(jnp.float32),
+                                 k.astype(jnp.float32),
+                                 v.astype(jnp.float32), o, lse, do)
+
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    qf, kf, vf = (t.astype(jnp.float32) for t in (q, k, v))
+    s = jnp.einsum("bqnd,bknd->bnqk", qf, kf,
+                   preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse.transpose(0, 2, 1)[..., None])
+    delta = jnp.sum(do * o, axis=-1)
+    dv_ref = jnp.einsum("bnqk,bqnd->bknd", p, do)
+    dp = jnp.einsum("bqnd,bknd->bnqk", do, vf)
+    ds = p * (dp - delta.transpose(0, 2, 1)[..., None]) * scale
+    dq_ref = jnp.einsum("bnqk,bknd->bqnd", ds, kf)
+    dk_ref = jnp.einsum("bnqk,bqnd->bknd", ds, qf)
+    for name, a, r in zip(("dq", "dk", "dv"), tpu,
+                          (dq_ref, dk_ref, dv_ref)):
+        check(f"ring_block_bwd_{name}", a, r, atol=5e-2, rtol=1e-2)
+
+    # ---- 5: DPM++ rollout jit == eager ------------------------------------
+    from hyvideo_prfl_tpu.schedulers import dpm as dpm_mod
+
+    vel = lambda x, t: jnp.tanh(x * 0.1) * (1.0 + 0.001 * t)
+    noise = jax.random.normal(jax.random.PRNGKey(7), (1, 4, 8, 8, 16))
+    sched = dpm_mod.dpm_schedule(10, shift=5.0)
+    x_jit, _ = jax.jit(lambda z: dpm_mod.rollout(sched, vel, z))(noise)
+    x_eager, _ = dpm_mod.rollout(sched, vel, noise)
+    check("dpm_jit_vs_eager", x_jit, x_eager, atol=0.0, rtol=1e-7)
+
+    if FAILED:
+        print("FAILED:", FAILED)
+        return 1
+    print("all TPU kernel validations passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
