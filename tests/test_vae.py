@@ -159,3 +159,34 @@ def test_streaming_encode_matches_whole_clip(full_vae):
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_decode_latents_cli(tmp_path):
+    """scripts/decode_latents.py: latents npy + orbax VAE -> mp4 on disk
+    (the standalone decode tool / inference OOM-fallback path)."""
+    import subprocess
+    import sys as _sys
+
+    cfg = vae_mod.tiny_vae()
+    params = vae_mod.init_vae_params(cfg, jax.random.PRNGKey(0))
+    # the CLI assumes the shipped VAEConfig; drive its main() in-process
+    # with a monkeypatched config instead of a subprocess
+    from hyvideo_prfl_tpu.utils import checkpoint as ck
+    ck.save_orbax(str(tmp_path / "vae"), params)
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (1, 3, 4, 4, 4)))
+    np.save(tmp_path / "lat.npy", z)
+
+    import scripts.decode_latents as dl
+    argv = _sys.argv
+    _sys.argv = ["decode_latents.py", "--latents", str(tmp_path / "lat.npy"),
+                 "--vae_params", str(tmp_path / "vae"),
+                 "--save_file", str(tmp_path / "out.mp4"),
+                 "--decode_chunk", "1"]
+    try:
+        import unittest.mock as mock
+        with mock.patch.object(vae_mod, "VAEConfig", lambda: cfg):
+            rc = dl.main()
+    finally:
+        _sys.argv = argv
+    assert rc == 0
+    assert (tmp_path / "out.mp4").stat().st_size > 0
