@@ -41,12 +41,14 @@ def _block_attention_with_lse(q, k, v):
     Uses the Pallas flash kernel's saved logsumexp on TPU; a fused XLA
     softmax path elsewhere.
     """
-    import jax
-
     d = q.shape[-1]
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    if on_tpu and d % 128 == 0:
-        from . import flash_attention as fa
+    from . import flash_attention as fa
+
+    # PALLAS_INTERPRET-aware (not backend sniffing): chipless AOT audits
+    # compile from a CPU process with PALLAS_INTERPRET=0 and MUST take the
+    # Mosaic path — the XLA branch materializes [B,N,L,L] scores (114 GB at
+    # the 14B USP serving scale)
+    if not fa._interpret() and d % 128 == 0:
 
         b, lq, n, _ = q.shape
         lk = k.shape[1]
@@ -89,9 +91,9 @@ def _block_bwd(q, k, v, o, lse, do):
     exactly the full-attention gradients. Shapes [B, L, N, D]; lse
     [B, Lq, N] fp32. Returns (dq_partial, dk_blk, dv_blk)."""
     d = q.shape[-1]
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    if on_tpu and d % 128 == 0:
-        from . import flash_attention as fa
+    from . import flash_attention as fa
+
+    if not fa._interpret() and d % 128 == 0:
 
         b, lq, n, _ = q.shape
         lk = k.shape[1]

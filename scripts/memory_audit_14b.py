@@ -50,6 +50,101 @@ def _ensure_env():
     sys.exit(r.returncode)
 
 
+def inference_audit():
+    """Serving-path budget: the full 14B i2v CFG sampling chain (UniPC-40,
+    720p x 81f = 75,600 tokens) under USP ring=2 x ulysses=4, bf16 weights
+    FSDP-sharded over a chipless 8-chip v5e topology (16 GB HBM/chip)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from hyvideo_prfl_tpu.models import wan_dit
+    from hyvideo_prfl_tpu.parallel import sharding as shd
+    from hyvideo_prfl_tpu.schedulers import unipc
+
+    try:
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name="v5e:2x4")
+        hbm_gb, name = 16, "v5e:2x4"
+    except Exception:
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name="v5p:2x2x2")
+        hbm_gb, name = 16, "v5p:2x2x2 (v5e budget)"
+    mesh = Mesh(np.array(topo.devices).reshape(1, 2, 4),
+                ("data", "ring", "sp"))
+    print(f"topology {name} -> mesh data=1 ring=2 ulysses=4", flush=True)
+
+    cfg = wan_dit.i2v_14b(remat=False)
+    policy = shd.usp_policy()
+    model = wan_dit.WanModel(cfg, policy)
+
+    pshapes = jax.eval_shape(
+        lambda: wan_dit.init_params(cfg, jax.random.PRNGKey(0)))
+    # inference weights in bf16 (reference shard_model, fsdp.py:10-32)
+    pshapes = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, jnp.bfloat16), pshapes)
+    pshard = shd.fsdp_param_sharding(mesh, pshapes, min_size=2 ** 16)
+    params_abs = jax.tree.map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        pshapes, pshard)
+
+    b, f, hh, ww = 1, 21, 90, 160  # 720p x 81 frames -> 75,600 tokens
+    seq = ("ring", "sp")
+    wsh = NamedSharding(mesh, P("data", None, None, seq, None))
+    bsh = NamedSharding(mesh, P("data"))
+    lat_abs = jax.ShapeDtypeStruct((b, f, hh, ww, 16), jnp.float32,
+                                   sharding=wsh)
+    y_abs = jax.ShapeDtypeStruct((b, f, hh, ww, 20), jnp.float32,
+                                 sharding=wsh)
+    txt_abs = jax.ShapeDtypeStruct((b, cfg.text_len, cfg.text_dim),
+                                   jnp.float32, sharding=bsh)
+    clip_abs = jax.ShapeDtypeStruct((b, 257, 1280), jnp.float32,
+                                    sharding=bsh)
+
+    sched = unipc.unipc_schedule(40, shift=5.0)
+
+    def sample(params, noise, text, text_null, y, clip_fea):
+        def vel(x, t):
+            x2 = jnp.concatenate([x, x], axis=0)
+            ctx2 = jnp.concatenate([text, text_null], axis=0)
+            t2 = jnp.broadcast_to(jnp.atleast_1d(t), (b,))
+            t2 = jnp.concatenate([t2, t2], axis=0)
+            y2 = jnp.concatenate([y, y], axis=0)
+            clip2 = jnp.concatenate([clip_fea, clip_fea], axis=0)
+            out = model.apply(params, x2, t2, ctx2, y=y2, clip_fea=clip2)
+            cond, uncond = out[:b], out[b:]
+            return uncond + 5.0 * (cond - uncond)
+
+        x, _ = unipc.rollout(sched, vel, noise)
+        return x
+
+    with jax.set_mesh(mesh):
+        jitted = jax.jit(sample)
+        print("lowering...", flush=True)
+        lowered = jitted.lower(params_abs, lat_abs, txt_abs, txt_abs,
+                               y_abs, clip_abs)
+        print("compiling...", flush=True)
+        compiled = lowered.compile()
+    ma = compiled.memory_analysis()
+    import json
+
+    live = (ma.argument_size_in_bytes - ma.alias_size_in_bytes
+            + ma.output_size_in_bytes + ma.temp_size_in_bytes)
+    print(json.dumps({
+        "mode": "inference_usp_ring2_ulysses4",
+        "tokens": f * (hh // 2) * (ww // 2),
+        "args_gb": round(ma.argument_size_in_bytes / 2 ** 30, 2),
+        "temp_gb": round(ma.temp_size_in_bytes / 2 ** 30, 2),
+        "out_gb": round(ma.output_size_in_bytes / 2 ** 30, 2),
+        "hbm_peak_gb_per_device": round(live / 2 ** 30, 2),
+        "hbm_budget_gb": hbm_gb,
+        "fits": bool(live / 2 ** 30 < hbm_gb),
+    }), flush=True)
+    return 0
+
+
 def main():
     _ensure_env()
     p = argparse.ArgumentParser()
@@ -57,6 +152,12 @@ def main():
     p.add_argument("--offload", action="store_true",
                    help="pinned-host out-shardings for the optimizer state")
     p.add_argument("--rollout", type=int, default=40)
+    p.add_argument("--inference", action="store_true",
+                   help="serving audit instead: the 14B i2v CFG sampling "
+                        "chain (720p x 81f, UniPC-40) under USP ring=2 x "
+                        "ulysses=4 on a chipless v5e-8 topology, bf16 "
+                        "weights (the reference's inference FSDP dtype, "
+                        "fsdp.py:10-32)")
     args = p.parse_args()
 
     import numpy as np
@@ -71,6 +172,9 @@ def main():
     from hyvideo_prfl_tpu.training.pavrm import PavrmConfig
     from hyvideo_prfl_tpu.training.prfl import PrflConfig, PrflModel, \
         make_refl_step
+
+    if args.inference:
+        return inference_audit()
 
     topo = topologies.get_topology_desc(platform="tpu",
                                         topology_name="v5p:2x2x2")
