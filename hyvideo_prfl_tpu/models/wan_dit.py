@@ -75,7 +75,11 @@ class WanConfig:
     # "dots" saves matmul outputs with no batch dims (nothing in this model
     # qualifies — kept for parity with jax naming); "dots_all" saves ALL
     # matmul outputs (~64 MB/block at dim 1280/3120 tok: skips the forward
-    # recompute in backward where memory permits; NOT for 14B@75.6k)
+    # recompute in backward where memory permits; NOT for 14B@75.6k);
+    # "attn" saves the flash-attention custom_vjp residuals (q/k/v/o/lse,
+    # exposed via optimize_remat=True on the kernel) so the backward never
+    # re-runs the flash FORWARD — the hot 40%-of-recompute op — at
+    # ~0.8 GB/block extra residents at 14B x 18.9k tokens
     remat_policy: str = "full"
     # lax.scan unroll factor for the block stack: >1 lets XLA overlap the
     # next layer's stacked-weight DMA with the current layer's compute
@@ -127,6 +131,16 @@ def tiny_test(**kw):
 
 
 _BLOCK_DENSE = ("self_attn", "cross_attn", "ffn_0", "ffn_2")
+
+
+def _attn_saveable_policy(prim, *_, **__):
+    """Save the flash-attention custom_vjp call's outputs + residuals
+    (staged as a `remat_opt` primitive by optimize_remat=True in
+    ops/flash_attention.py) so the block backward reuses the forward's
+    kernel run instead of recomputing it. Everything else (dense matmuls,
+    norms) is recomputed as under the "full" policy. Verified numerically
+    identical to "full" (tests/test_wan_dit.py remat tests)."""
+    return prim.name == "remat_opt"
 
 
 def _cast_block_dense_params(dtype, tree):
@@ -383,9 +397,11 @@ class MLPProj(nn.Module):
         if flf:
             b, n, d = x.shape
             x = x.reshape(-1, 2 * n, d)
+            # (1, 514, 1280) for the released ViT-H/14 encoder
+            # (FIRST_LAST_FRAME_CONTEXT_TOKEN_NUMBER); sized from the input
+            # so tiny smoke encoders work too
             pos = self.param(
-                "emb_pos", nn.initializers.zeros,
-                (1, FIRST_LAST_FRAME_CONTEXT_TOKEN_NUMBER, 1280),
+                "emb_pos", nn.initializers.zeros, (1, 2 * n, d),
             )
             x = x + pos
         scale0 = self.param("ln0_scale", nn.initializers.ones, (x.shape[-1],))
@@ -492,6 +508,7 @@ class WanModel(nn.Module):
             policy_fn = {
                 "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
                 "dots_all": jax.checkpoint_policies.dots_saveable,
+                "attn": _attn_saveable_policy,
             }.get(cfg.remat_policy)
             block_cls = nn.remat(
                 WanBlock,
@@ -594,8 +611,11 @@ def time_embed_only(params, cfg: WanConfig, t):
 
 
 def init_params(cfg: WanConfig, rng, sample_shape=(1, 4, 8, 8, None),
-                text_len=None):
-    """Initialize a parameter pytree with a tiny dummy forward."""
+                text_len=None, clip_shape=None):
+    """Initialize a parameter pytree with a tiny dummy forward.
+
+    clip_shape: optional (tokens, dim) of the CLIP visual features (defaults
+    to the released ViT-H/14 257x1280; tiny smoke encoders differ)."""
     b, f, hh, ww, _ = sample_shape
     x = jnp.zeros((b, f, hh, ww, 16 if cfg.model_type == "t2v" else 16), jnp.float32)
     y = (
@@ -606,8 +626,9 @@ def init_params(cfg: WanConfig, rng, sample_shape=(1, 4, 8, 8, None),
     ctx = jnp.zeros((b, text_len or cfg.text_len, cfg.text_dim), jnp.float32)
     # flf2v convention: first+last frame CLIP tokens stacked on batch
     # ([2B, 257, 1280]), fused to [B, 514, dim] inside MLPProj
+    ct, cd_ = clip_shape or (257, 1280)
     clip = (
-        jnp.zeros((b * (2 if cfg.model_type == "flf2v" else 1), 257, 1280),
+        jnp.zeros((b * (2 if cfg.model_type == "flf2v" else 1), ct, cd_),
                   jnp.float32)
         if cfg.model_type in ("i2v", "flf2v")
         else None

@@ -38,6 +38,35 @@ DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 2048
 FULL_K_MAX = 3584
 NEG_INF = -1e30
+# exp2 trick (FA2/splash-style): fold log2(e) into the q scaling so the
+# softmax runs on the VPU's native pow2 without the per-element ln2 multiply
+# inside exp. lse stays in NATURAL units at the kernel boundary (ring
+# attention merges depend on it); backward converts back to log2 space with
+# one [BQ, 1] multiply.
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
+
+
+def _mask_cols(s, valid, off):
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + off
+    return jnp.where(col < valid, s, NEG_INF)
+
+
+def _apply_mask(s, mask_mode, len_ref, lk, block_k, k_idx, n_k):
+    """mask_mode: None | "user" (per-row dynamic k_valid_len) | "pad"
+    (static padding only — every key < lk is valid, so only the LAST k
+    block is partial and the [BQ, BK] iota/compare/select VPU passes are
+    branched away for the other n_k-1 blocks)."""
+    if mask_mode == "user":
+        return _mask_cols(s, len_ref[pl.program_id(0)], k_idx * block_k)
+    if mask_mode == "pad":
+        if n_k == 1:
+            return _mask_cols(s, lk, 0)
+        return jax.lax.cond(
+            k_idx == n_k - 1,
+            lambda s: _mask_cols(s, lk, k_idx * block_k),
+            lambda s: s, s)
+    return s
 
 
 def _interpret() -> bool:
@@ -56,7 +85,7 @@ def _interpret() -> bool:
 
 
 def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                acc_ref, m_ref, l_ref, *, block_k, scale, n_k, masked):
+                acc_ref, m_ref, l_ref, *, block_k, scale, n_k, masked, lk):
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -65,24 +94,22 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    # fold the softmax scale into the [BQ, D] q block (25x fewer elements
-    # than scaling the [BQ, BK] score matrix on the VPU)
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # [BQ, D]
+    # fold the softmax scale AND log2(e) into the [BQ, D] q block (25x fewer
+    # elements than scaling the [BQ, BK] score matrix on the VPU); the
+    # softmax then runs in exp2 space
+    q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
     k = k_ref[0]  # [BK, D]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [BQ, BK]
+    )  # [BQ, BK], log2-scaled logits
 
-    if masked:  # static: skipped entirely for full-length unpadded keys
-        valid = len_ref[pl.program_id(0)]
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_idx * block_k
-        s = jnp.where(col < valid, s, NEG_INF)
+    s = _apply_mask(s, masked, len_ref, lk, block_k, k_idx, n_k)
 
     m_prev = m_ref[:]  # [BQ, 128] (broadcast lanes)
     m_cur = jnp.max(s, axis=1, keepdims=True)  # [BQ, 1]
     m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-    corr = jnp.exp(m_prev[:, :1] - m_new[:, :1])  # [BQ, 1]
-    p = jnp.exp(s - m_new[:, :1])  # [BQ, BK] f32
+    corr = jnp.exp2(m_prev[:, :1] - m_new[:, :1])  # [BQ, 1]
+    p = jnp.exp2(s - m_new[:, :1])  # [BQ, BK] f32
     l_new = l_ref[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
     acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -96,24 +123,23 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l = l_ref[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
-        lse_ref[0] = (m_ref[:] + jnp.log(jnp.maximum(l_ref[:], 1e-30)))
+        # natural-units lse at the kernel boundary
+        lse_ref[0] = (m_ref[:] +
+                      jnp.log2(jnp.maximum(l_ref[:], 1e-30))) * LN2
 
 
 def _fwd_kernel_single(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                       *, block_k, scale, masked):
+                       *, block_k, scale, masked, lk):
     """Single-k-block forward (the full-K fast path): plain softmax, no
     online-update scratch or rescale chain."""
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [BQ, BK]
-    if masked:
-        valid = len_ref[pl.program_id(0)]
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < valid, s, NEG_INF)
+    s = _apply_mask(s, masked, len_ref, lk, block_k, 0, 1)
     m = jnp.max(s, axis=1, keepdims=True)  # [BQ, 1]
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
     l_safe = jnp.where(l == 0.0, 1.0, l)
     acc = jax.lax.dot_general(
@@ -121,30 +147,28 @@ def _fwd_kernel_single(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         preferred_element_type=jnp.float32,
     )
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    lse = m + jnp.log(jnp.maximum(l, 1e-30))
+    lse = (m + jnp.log2(jnp.maximum(l, 1e-30))) * LN2
     lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-               dq_ref, dq_acc, *, block_k, scale, n_k, masked):
+               dq_ref, dq_acc, *, block_k, scale, n_k, masked, lk):
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    # scale folds into the [*, D] operands: q for the score matmul, k for
-    # the dq matmul — two small scalings replace two [BQ, BK] VPU passes
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    # scale (+log2e for the exp2 softmax) folds into the [*, D] operands:
+    # q for the score matmul, k for the dq matmul — small scalings replace
+    # per-element [BQ, BK] VPU passes
+    q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    if masked:
-        valid = len_ref[pl.program_id(0)]
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_idx * block_k
-        s = jnp.where(col < valid, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0][:, :1])  # [BQ, BK]
+    s = _apply_mask(s, masked, len_ref, lk, block_k, k_idx, n_k)
+    p = jnp.exp2(s - lse_ref[0][:, :1] * LOG2E)  # [BQ, BK]
     dp = jax.lax.dot_general(
         do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -163,7 +187,7 @@ def _dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, dk_acc, dv_acc, *, block_k, scale, n_q,
-                masked):
+                masked, lk):
     q_idx = pl.program_id(2)
 
     @pl.when(q_idx == 0)
@@ -171,18 +195,19 @@ def _dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    # q*scale serves both the score matmul and the dk matmul
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # [BQ, D]
+    # two scaled q views: score matmul wants scale*log2e (exp2 softmax),
+    # the dk matmul wants plain scale (ds is d/d(natural logits))
+    qf = q_ref[0].astype(jnp.float32)
+    q = (qf * (scale * LOG2E)).astype(q_ref.dtype)  # [BQ, D]
+    q_s = (qf * scale).astype(q_ref.dtype)
     k = k_ref[0]  # [BK, D]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    if masked:
-        valid = len_ref[pl.program_id(0)]
-        k_base = pl.program_id(1) * block_k
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_base
-        s = jnp.where(col < valid, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0][:, :1])  # [BQ, BK]
+    k_idx = pl.program_id(1)
+    s = _apply_mask(s, masked, len_ref, lk, block_k, k_idx,
+                    pl.num_programs(1))
+    p = jnp.exp2(s - lse_ref[0][:, :1] * LOG2E)  # [BQ, BK]
     # dv += P^T dO
     dv_acc[:] += jax.lax.dot_general(
         p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
@@ -194,7 +219,7 @@ def _dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     )
     ds = p * (dp - delta_ref[0][:, :1])  # [BQ, BK]
     dk_acc[:] += jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        ds.astype(q_s.dtype), q_s, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -220,7 +245,16 @@ def pick_blocks(lq: int, lk: int):
     is ~bq 240 on v5e at d=128)."""
     lk128 = _pad_len(lk, 128)
     full_k = lk128 <= FULL_K_MAX
-    block_k = lk128 if full_k else DEFAULT_BLOCK_K
+    if full_k:
+        block_k = lk128
+    else:
+        # streaming regime: pick block_k among MXU-tile multiples to
+        # minimize k PADDING (padded key columns are wasted MXU work even
+        # when branch-masked): 18,900 tokens pad 8.4% at 2048 but only
+        # 1.6% at 1920; 75,600 pads 0.23% at 2048. Ties -> larger block
+        # (fewer online-softmax rescale steps).
+        cands = range(1536, 2560 + 1, 128)
+        block_k = min(cands, key=lambda bk: (_pad_len(lk, bk), -bk))
     lq128 = _pad_len(lq, 128)
     if lq128 <= DEFAULT_BLOCK_Q:
         return lq128, block_k
@@ -256,14 +290,14 @@ def _bwd_blocks(lq_p: int, lk_p: int, block_q: int, block_k: int):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7)
 )
-def _flash(q, k, v, valid, block_q, block_k, masked=True):
-    o, _ = _flash_fwd_impl(q, k, v, valid, block_q, block_k, masked)
+def _flash(q, k, v, valid, block_q, block_k, masked, lk_true):
+    o, _ = _flash_fwd_impl(q, k, v, valid, block_q, block_k, masked, lk_true)
     return o
 
 
-def _flash_fwd_impl(q, k, v, valid, block_q, block_k, masked=True):
+def _flash_fwd_impl(q, k, v, valid, block_q, block_k, masked, lk_true):
     bn, lq, d = q.shape
     lk = k.shape[1]
     n_q = lq // block_q
@@ -271,9 +305,10 @@ def _flash_fwd_impl(q, k, v, valid, block_q, block_k, masked=True):
     scale = 1.0 / (d ** 0.5)
     if n_k == 1:
         return _flash_fwd_single(q, k, v, valid, block_q, block_k, scale,
-                                 masked)
+                                 masked, lk_true)
     kernel = functools.partial(
-        _fwd_kernel, block_k=block_k, scale=scale, n_k=n_k, masked=masked
+        _fwd_kernel, block_k=block_k, scale=scale, n_k=n_k, masked=masked,
+        lk=lk_true,
     )
     grid = (bn, n_q, n_k)
     o, lse = pl.pallas_call(
@@ -307,11 +342,13 @@ def _flash_fwd_impl(q, k, v, valid, block_q, block_k, masked=True):
     return o, lse
 
 
-def _flash_fwd_single(q, k, v, valid, block_q, block_k, scale, masked):
+def _flash_fwd_single(q, k, v, valid, block_q, block_k, scale, masked,
+                      lk_true):
     """Scratch-free forward for the full-K (single k block) case."""
     bn, lq, d = q.shape
     kernel = functools.partial(
-        _fwd_kernel_single, block_k=block_k, scale=scale, masked=masked
+        _fwd_kernel_single, block_k=block_k, scale=scale, masked=masked,
+        lk=lk_true,
     )
     o, lse = pl.pallas_call(
         kernel,
@@ -339,13 +376,18 @@ def _flash_fwd_single(q, k, v, valid, block_q, block_k, scale, masked):
     return o, lse
 
 
-def _flash_fwd(q, k, v, valid, block_q, block_k, masked=True):
-    o, lse = _flash_fwd_impl(q, k, v, valid, block_q, block_k, masked)
-    return o, (q, k, v, valid, o, lse)
+def _flash_fwd(q, k, v, valid, block_q, block_k, masked, lk_true):
+    o, lse = _flash_fwd_impl(q, k, v, valid, block_q, block_k, masked,
+                             lk_true)
+    # residual lse kept [BN, Lq, 1]: the kernel's 128-lane broadcast copy
+    # would otherwise dominate residual memory under attention-saving remat
+    # policies (387 MB vs 3 MB per 14B block)
+    return o, (q, k, v, valid, o, lse[..., :1])
 
 
-def _flash_bwd(block_q, block_k, masked, res, do):
+def _flash_bwd(block_q, block_k, masked, lk_true, res, do):
     q, k, v, valid, o, lse = res
+    lse = jnp.broadcast_to(lse, (*lse.shape[:2], 128))
     bn, lq, d = q.shape
     lk = k.shape[1]
     block_q, block_k = _bwd_blocks(lq, lk, block_q, block_k)
@@ -359,7 +401,7 @@ def _flash_bwd(block_q, block_k, masked, res, do):
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, block_k=block_k, scale=scale, n_k=n_k,
-                          masked=masked),
+                          masked=masked, lk=lk_true),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bn, n_q, n_k),
@@ -382,7 +424,7 @@ def _flash_bwd(block_q, block_k, masked, res, do):
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, block_k=block_k, scale=scale, n_q=n_q,
-                          masked=masked),
+                          masked=masked, lk=lk_true),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bn, n_k, n_q),
@@ -414,7 +456,11 @@ def _flash_bwd(block_q, block_k, masked, res, do):
     return dq, dk, dv, None
 
 
-_flash.defvjp(_flash_fwd, _flash_bwd)
+# optimize_remat: under jax.checkpoint policies that save this op's output
+# (wan_dit remat_policy="attn"), the remat machinery may compute residuals
+# from the saved output instead of re-running the opaque Pallas forward —
+# the jax-recommended arrangement for flash kernels under remat.
+_flash.defvjp(_flash_fwd, _flash_bwd, optimize_remat=True)
 
 
 def flash_attention(
@@ -463,9 +509,16 @@ def flash_attention(
         valid = k_valid_len.astype(jnp.int32)
     valid = jnp.repeat(valid, n)  # [B*N] scalar-prefetch vector
 
-    # skip the in-kernel mask entirely when every key is valid (no user
-    # mask, no k padding) — saves ~3 VPU passes over [BQ, BK] per cell
-    masked = (k_valid_len is not None) or (lk_p != lk)
-    o = _flash(qb, kb, vb, valid, block_q, block_k, masked)
+    # mask mode: None when every key is valid (no user mask, no k
+    # padding — saves ~3 VPU passes over [BQ, BK] per cell); "pad" when the
+    # only invalid keys are the static padding (mask branched to the last
+    # k block only); "user" for dynamic per-row k_valid_len
+    if k_valid_len is not None:
+        masked = "user"
+    elif lk_p != lk:
+        masked = "pad"
+    else:
+        masked = None
+    o = _flash(qb, kb, vb, valid, block_q, block_k, masked, lk)
     o = o[:, :lq].reshape(b, n, lq, d)
     return jnp.moveaxis(o, 1, 2)

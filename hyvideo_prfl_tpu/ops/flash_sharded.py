@@ -52,8 +52,8 @@ def _fwd_local(q, k, v, valid, masked=True):
     lq_p, lk_p = _pad_len(lq, block_q), _pad_len(lk, block_k)
     qb, kb, vb = _to_bnld(q, lq_p), _to_bnld(k, lk_p), _to_bnld(v, lk_p)
     validr = jnp.repeat(valid.astype(jnp.int32), n)
-    o, lse = _flash_fwd_impl(qb, kb, vb, validr, block_q, block_k,
-                             masked or lk_p != lk)
+    mode = "user" if masked else ("pad" if lk_p != lk else None)
+    o, lse = _flash_fwd_impl(qb, kb, vb, validr, block_q, block_k, mode, lk)
     o = o[:, :lq].reshape(b, n, lq, d)
     return jnp.moveaxis(o, 1, 2), lse[:, :lq].reshape(b, n, lq, 128)
 
@@ -66,13 +66,14 @@ def _bwd_local(q, k, v, valid, o, lse, do, masked=True):
     lq_p, lk_p = _pad_len(lq, block_q), _pad_len(lk, block_k)
     qb, kb, vb = _to_bnld(q, lq_p), _to_bnld(k, lk_p), _to_bnld(v, lk_p)
     ob, dob = _to_bnld(o, lq_p), _to_bnld(do, lq_p)
-    lseb = lse.reshape(b * n, lq, 128)
+    # residual lse contract is [BN, Lq, 1] (flash_attention._flash_fwd)
+    lseb = lse.reshape(b * n, lq, 128)[:, :, :1]
     if lq_p != lq:  # zero-padded do/o rows make padded-row ds vanish
         lseb = jnp.pad(lseb, ((0, 0), (0, lq_p - lq), (0, 0)))
     validr = jnp.repeat(valid.astype(jnp.int32), n)
+    mode = "user" if masked else ("pad" if lk_p != lk else None)
     dq, dk, dv, _ = _flash_bwd(
-        block_q, block_k, masked or lk_p != lk,
-        (qb, kb, vb, validr, ob, lseb), dob
+        block_q, block_k, mode, lk, (qb, kb, vb, validr, ob, lseb), dob
     )
 
     def back(x, l):

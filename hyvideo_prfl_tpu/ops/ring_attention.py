@@ -66,7 +66,7 @@ def _block_attention_with_lse(q, k, v):
         valid = jnp.full((b * n,), lk, jnp.int32)
         o, lse = fa._flash_fwd_impl(
             bnld(q, lq_p), bnld(k, lk_p), bnld(v, lk_p), valid,
-            block_q, block_k, masked=(lk_p != lk),
+            block_q, block_k, "pad" if lk_p != lk else None, lk,
         )
         o = jnp.moveaxis(o[:, :lq].reshape(b, n, lq, d), 1, 2)
         lse = lse[:, :lq, 0].reshape(b, n, lq).transpose(0, 2, 1)
@@ -110,11 +110,9 @@ def _block_bwd(q, k, v, o, lse, do):
             return x
 
         # padded q rows: o/do pad to 0 => delta 0 and dv/dk contributions 0;
-        # lse pads large-positive so p underflows to 0 (no overflow)
-        lse_p = jnp.broadcast_to(
-            lse.transpose(0, 2, 1).reshape(b * n, lq)[:, :, None],
-            (b * n, lq, 128),
-        )
+        # lse pads large-positive so p underflows to 0 (no overflow).
+        # residual lse contract is [BN, Lq, 1] (flash_attention._flash_fwd)
+        lse_p = lse.transpose(0, 2, 1).reshape(b * n, lq)[:, :, None]
         if lq_p != lq:
             lse_p = jnp.pad(lse_p, ((0, 0), (0, lq_p - lq), (0, 0)),
                             constant_values=1e9)
@@ -122,7 +120,8 @@ def _block_bwd(q, k, v, o, lse, do):
         res = (bnld(q, lq_p), bnld(k, lk_p), bnld(v, lk_p), valid,
                bnld(o, lq_p), lse_p)
         dq, dk, dv, _ = fa._flash_bwd(
-            block_q, block_k, lk_p != lk, res, bnld(do, lq_p)
+            block_q, block_k, "pad" if lk_p != lk else None, lk, res,
+            bnld(do, lq_p)
         )
 
         def undo(x, l):

@@ -32,11 +32,21 @@ def latent_size_for(max_area: int, aspect: float,
                     vae_stride=(4, 8, 8), patch_size=(1, 2, 2),
                     num_frames: int = 81, sp_size: int = 1
                     ) -> Tuple[int, int, int]:
-    """(F, H, W) latent grid from pixel budget (image2video.py:237-248)."""
+    """(F, H, W) latent grid from pixel budget (image2video.py:237-248).
+
+    sp_size: total sequence-parallel degree (ring * ulysses). The token
+    count F * H/ph * W/pw must divide by it for the Ulysses all_to_all and
+    the ring rotation (the reference instead rounds seq_len up to a multiple
+    of sp, image2video.py:246-248; with static shapes we widen W by one
+    patch at a time until the grid divides — at 720p/480p scales this is at
+    most a ~1% pixel-budget change)."""
     lat_f = (num_frames - 1) // vae_stride[0] + 1
     lat_h = round(math.sqrt(max_area * aspect) / vae_stride[1] / patch_size[1]) * patch_size[1]
     lat_w = round(math.sqrt(max_area / aspect) / vae_stride[2] / patch_size[2]) * patch_size[2]
-    # round seq len up to a multiple of sp via widening W if needed
+    if sp_size > 1:
+        tokens = lambda w: lat_f * (lat_h // patch_size[1]) * (w // patch_size[2])
+        while tokens(lat_w) % sp_size:
+            lat_w += patch_size[2]
     return lat_f, lat_h, lat_w
 
 
@@ -186,7 +196,6 @@ class WanPipeline:
             uncond, res_u = fwd(context_null, res_u)
             v = uncond + gen.guide_scale * (cond - uncond)
             x_next, solver = unipc_mod._apply(c, solver, v, x)
-            solver = solver.replace(step_index=solver.step_index)
             return (x_next, solver, gate, res_c, res_u), None
 
         xs = (jnp.arange(n, dtype=jnp.int32), sched.timesteps,

@@ -222,3 +222,51 @@ class MetricLogger:
         if self.writer:
             for k, v in metrics.items():
                 self.writer.add_scalar(f"{prefix}/{k}", float(v), step)
+
+
+def batched_eval(jitted_eval, trainable, frozen, dataset, timesteps, seed,
+                 batch_size=8, max_samples=None):
+    """Shape-bucketed, [B]-batched PAVRM eval (VERDICT r2 item 5).
+
+    The reference batches its val loop and all_gathers predictions
+    (train_pavrm.py:1202-1253); the round-2 drivers iterated batch-1 jits
+    per sample per timestep — unusable on a 40s-per-dispatch remote
+    backend. This makes ONE data pass (each val sample loaded once),
+    groups samples into same-shape batches (one compile per latent-shape
+    bucket), pads the last partial batch for compile reuse, and issues
+    len(timesteps) * ceil(N/B) jitted dispatches total.
+
+    Returns {float(t): (probs list[N], labels list[N])}.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    n = min(len(dataset), max_samples or len(dataset))
+    buckets = {}
+    for i in range(n):
+        s = dataset[i]
+        buckets.setdefault(tuple(np.asarray(s["latents"]).shape), []).append(s)
+    out = {float(t): ([], []) for t in timesteps}
+    for samples in buckets.values():
+        for j in range(0, len(samples), batch_size):
+            chunk = samples[j:j + batch_size]
+            nb = len(chunk)
+            pad = batch_size - nb if len(samples) > batch_size else 0
+
+            def stack(k):
+                arr = np.stack([np.asarray(s[k]) for s in chunk])
+                if pad:
+                    arr = np.concatenate(
+                        [arr, np.repeat(arr[-1:], pad, axis=0)])
+                return jnp.asarray(arr)
+
+            batch = {k: stack(k) for k in chunk[0]
+                     if not isinstance(chunk[0][k], str) and k != "labels"}
+            labels = [float(s["labels"]) for s in chunk]
+            for t in timesteps:
+                p = jitted_eval(trainable, frozen, batch, jnp.float32(t),
+                                int(seed))
+                probs, labs = out[float(t)]
+                probs.extend(np.asarray(p)[:nb].tolist())
+                labs.extend(labels)
+    return out

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from scripts._common import build_mesh, dit_cfg_from
+from scripts._common import batched_eval, build_mesh, dit_cfg_from
 from hyvideo_prfl_tpu.configs import load_config
 from hyvideo_prfl_tpu.data.dataset import LatentCacheDataset
 from hyvideo_prfl_tpu.training import common
@@ -78,19 +78,13 @@ def main(config, max_samples=None):
     with jax.set_mesh(mesh):
         eval_fn = jax.jit(eval_fn, static_argnums=(4,))
         results = {}
-        n = min(len(dataset), max_samples or len(dataset))
+        per_t = batched_eval(
+            eval_fn, trainable, frozen, dataset,
+            list(config.eval.timestep), config.eval.seed,
+            batch_size=int(config.eval.get("batch_size") or 8),
+            max_samples=max_samples)
         for t_val in config.eval.timestep:
-            probs, labels = [], []
-            for i in range(n):
-                s = dataset[i]
-                batch = {k: jnp.asarray(v)[None] for k, v in s.items()
-                         if not isinstance(v, str)}
-                batch = {k: (v[0] if k == "labels" else v)
-                         for k, v in batch.items()}
-                p = eval_fn(trainable, frozen, batch, jnp.float32(t_val),
-                            int(config.eval.seed))
-                probs.append(float(p[0]))
-                labels.append(float(s["labels"]))
+            probs, labels = per_t[float(t_val)]
             m = classification_metrics(np.asarray(probs), np.asarray(labels))
             bucket = next((b for b in TIMESTEP_BUCKETS
                            if b[0] <= t_val <= b[1]), None)

@@ -74,20 +74,25 @@ def main():
 
     t_f = (timeit("fwdK", fwdK, params, x) - rt) / K
 
-    @jax.jit
-    def gradK(p, x):
-        # remat per block like the real training step (full recompute
-        # policy): without it the saved residuals OOM a 16 GB chip
-        def loss(p):
-            def body(x, _):
-                f = lambda x: blk.apply(p, x, e6, ctx, cos, sin
-                                        ).astype(x.dtype)
-                return jax.checkpoint(f)(x), None
-            y, _ = jax.lax.scan(body, x, None, length=K)
-            return jnp.sum(y)
-        return jax.tree.leaves(jax.grad(loss)(p))[0].ravel()[0]
+    def make_gradK(policy):
+        @jax.jit
+        def gradK(p, x):
+            # remat per block like the real training step: without it the
+            # saved residuals OOM a 16 GB chip
+            def loss(p):
+                def body(x, _):
+                    f = lambda x: blk.apply(p, x, e6, ctx, cos, sin
+                                            ).astype(x.dtype)
+                    return jax.checkpoint(f, policy=policy)(x), None
+                y, _ = jax.lax.scan(body, x, None, length=K)
+                return jnp.sum(y)
+            return jax.tree.leaves(jax.grad(loss)(p))[0].ravel()[0]
+        return gradK
 
-    t_fb = (timeit("grad_fwdbwdK", gradK, params, x) - rt) / K
+    t_fb = (timeit("grad_fwdbwdK_full", make_gradK(None), params, x) - rt) / K
+    t_fb_attn = (timeit(
+        "grad_fwdbwdK_attn",
+        make_gradK(wan_dit._attn_saveable_policy), params, x) - rt) / K
 
     fl = block_flops(L)
     print(json.dumps({
@@ -96,6 +101,8 @@ def main():
         "block_fwd_tflops": round(fl / t_f / 1e12, 1),
         "block_fwdbwd_ms": round(t_fb * 1000, 2),
         "block_fwdbwd_tflops": round(3 * fl / t_fb / 1e12, 1),
+        "block_fwdbwd_attn_ms": round(t_fb_attn * 1000, 2),
+        "block_fwdbwd_attn_tflops": round(3 * fl / t_fb_attn / 1e12, 1),
         "full_40block_fwd_ms_est": round(40 * t_f * 1000, 1),
     }), flush=True)
 

@@ -22,8 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from scripts._common import (
-    MetricLogger, StepTimer, build_mesh, dit_cfg_from, make_sharded_state,
-    make_train_loader,
+    MetricLogger, StepTimer, batched_eval, build_mesh, dit_cfg_from,
+    make_sharded_state, make_train_loader,
 )
 from hyvideo_prfl_tpu.configs import load_config
 from hyvideo_prfl_tpu.data.dataset import LatentCacheDataset
@@ -128,18 +128,14 @@ def main(config, max_steps=None):
     ) if val_lists else None
 
     def run_eval(state, jitted_eval):
-        """Per-timestep val metrics at save_interval (train_pavrm.py:1342-1354)."""
+        """Per-timestep val metrics at save_interval (train_pavrm.py:1342-1354),
+        [B]-batched over shape buckets (one data pass, few dispatches)."""
+        results = batched_eval(
+            jitted_eval, state.params, frozen, val_dataset,
+            list(config.eval.timestep), config.eval.seed,
+            batch_size=int(config.eval.get("batch_size") or 8))
         for t_val in config.eval.timestep:
-            probs, labels = [], []
-            for i in range(len(val_dataset)):
-                s = val_dataset[i]
-                b = {k2: jnp.asarray(v)[None] for k2, v in s.items()
-                     if not isinstance(v, str)}
-                b = {k2: (v[0] if k2 == "labels" else v) for k2, v in b.items()}
-                probs.append(float(jitted_eval(
-                    state.params, frozen, b, jnp.float32(t_val),
-                    int(config.eval.seed))[0]))
-                labels.append(float(s["labels"]))
+            probs, labels = results[float(t_val)]
             m = classification_metrics(np.asarray(probs), np.asarray(labels))
             logger.log(int(state.step), m, prefix=f"val_t{t_val}")
 

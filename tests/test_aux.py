@@ -405,3 +405,49 @@ def test_prompt_expander_full_surface():
     small = pe._resize_for_vl(img, max_image_size=128 * 128)
     assert small.width * small.height <= 128 * 128 + 256
     assert abs(small.width / small.height - 2.0) < 0.1
+
+
+def test_batched_eval_dispatch_count_and_alignment():
+    """batched_eval (VERDICT r2 item 5): <= T * ceil(N/B) dispatches, one
+    data pass, probs/labels stay aligned across shape buckets + padding."""
+    import numpy as np
+
+    from scripts._common import batched_eval
+
+    class FakeDs:
+        def __init__(self):
+            # two shape buckets: 5 samples of (2,4,4,16), 8 of (3,4,4,16)
+            self.items = []
+            for i in range(5):
+                self.items.append({"latents": np.zeros((2, 4, 4, 16)),
+                                   "text": np.zeros((4, 8)),
+                                   "labels": float(i % 2)})
+            for i in range(8):
+                self.items.append({"latents": np.zeros((3, 4, 4, 16)),
+                                   "text": np.zeros((4, 8)),
+                                   "labels": float((i + 1) % 2)})
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+    calls = []
+
+    def fake_eval(trainable, frozen, batch, t, seed):
+        calls.append(batch["latents"].shape)
+        # prob encodes the batch row index so alignment is checkable
+        return np.arange(batch["latents"].shape[0], dtype=np.float32)
+
+    ds = FakeDs()
+    out = batched_eval(fake_eval, {}, {}, ds, [100.0, 500.0], seed=0,
+                       batch_size=4)
+    # buckets: 5 -> ceil(5/4)=2 batches; 8 -> 2 batches; x2 timesteps = 8
+    assert len(calls) == 8
+    probs, labels = out[100.0]
+    assert len(probs) == len(ds) and len(labels) == len(ds)
+    # padded rows must be dropped: bucket of 5 contributes probs 0..3,0
+    assert probs[:5] == [0.0, 1.0, 2.0, 3.0, 0.0]
+    assert labels == [float(i % 2) for i in range(5)] + \
+        [float((i + 1) % 2) for i in range(8)]

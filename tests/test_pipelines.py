@@ -1,6 +1,7 @@
 """Generation pipeline tests (tiny configs): T2V/I2V/FLF2V + LoRA + EMA."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -206,3 +207,24 @@ def test_dpm_solver_in_pipeline():
     lat = pipe.generate(jax.random.PRNGKey(2), ctx, jnp.zeros_like(ctx), 2, 8, 8, gen)
     assert lat.shape == (1, 2, 8, 8, 16)
     assert np.isfinite(np.asarray(lat)).all()
+
+
+@pytest.mark.parametrize("size", ["720*1280", "1280*720", "480*832",
+                                  "832*480"])
+@pytest.mark.parametrize("sp", [1, 2, 4, 8])
+def test_latent_size_divisible_by_sp(size, sp):
+    """Token count must divide ring*ulysses for every SIZE_CONFIG bucket
+    (VERDICT r2 item 8; reference rounds seq_len to sp multiples,
+    image2video.py:246-248 — we widen W instead)."""
+    from hyvideo_prfl_tpu.configs import MAX_AREA_CONFIGS, SIZE_CONFIGS
+    from hyvideo_prfl_tpu.pipelines.pipeline import latent_size_for
+
+    w, h = SIZE_CONFIGS[size]
+    f, lh, lw = latent_size_for(MAX_AREA_CONFIGS[size], h / w,
+                                num_frames=81, sp_size=sp)
+    tokens = f * (lh // 2) * (lw // 2)
+    assert tokens % sp == 0
+    # widening stays small: < 3% over the sp=1 budget
+    _, lh0, lw0 = latent_size_for(MAX_AREA_CONFIGS[size], h / w,
+                                  num_frames=81, sp_size=1)
+    assert lh == lh0 and lw0 <= lw <= lw0 * 1.03 + 2

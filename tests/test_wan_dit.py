@@ -168,3 +168,43 @@ def test_rolled_rope_matches_pairwise():
     # linearity: vjp == applying the sign-flipped rotation
     g = jax.grad(lambda x: jnp.sum(apply_rope_rolled(x, c_tab, s_tab) ** 2))(x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_remat_attn_policy_matches_full():
+    """remat_policy="attn" (save flash custom_vjp residuals via the
+    remat_opt primitive) must give identical outputs and grads to full
+    remat. Forces the Pallas kernel path (PALLAS_INTERPRET=1) with
+    head_dim 128 and L>=1024 so flash actually engages and the remat_opt
+    equations exist."""
+    import os
+    old = os.environ.get("PALLAS_INTERPRET")
+    os.environ["PALLAS_INTERPRET"] = "1"
+    try:
+        kw = dict(dim=256, ffn_dim=512, num_heads=2, num_layers=2,
+                  freq_dim=32, text_dim=64)
+        cfg_f = wan_dit.WanConfig(remat=True, remat_policy="full", **kw)
+        cfg_a = wan_dit.WanConfig(remat=True, remat_policy="attn", **kw)
+        params = wan_dit.init_params(cfg_f, jax.random.PRNGKey(0),
+                                     sample_shape=(1, 4, 32, 32, None))
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 32, 32, 16))
+        t = jnp.array([500.0])
+        ctx = jax.random.normal(jax.random.PRNGKey(2),
+                                (1, cfg_f.text_len, cfg_f.text_dim)) * 0.1
+
+        def loss(cfg):
+            def f(p):
+                out = wan_dit.WanModel(cfg).apply(p, x, t, ctx)
+                return jnp.sum(out.astype(jnp.float32) ** 2)
+            return f
+
+        lf, gf = jax.value_and_grad(loss(cfg_f))(params)
+        la, ga = jax.value_and_grad(loss(cfg_a))(params)
+        np.testing.assert_allclose(float(lf), float(la), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(ga)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
+    finally:
+        if old is None:
+            os.environ.pop("PALLAS_INTERPRET", None)
+        else:
+            os.environ["PALLAS_INTERPRET"] = old
