@@ -68,9 +68,14 @@ def main():
 
     import os
     remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    # "attn" saves the flash custom_vjp residuals so the backward skips the
+    # flash forward recompute (wan_dit._attn_saveable_policy); override
+    # with BENCH_REMAT_POLICY=full to measure the round-2 arrangement
+    remat_policy = os.environ.get("BENCH_REMAT_POLICY", "attn")
     dit_cfg = wan_dit.WanConfig(
         model_type="t2v", dim=BENCH_DIM, ffn_dim=BENCH_FFN,
         num_heads=BENCH_HEADS, num_layers=BENCH_LAYERS, remat=remat,
+        remat_policy=remat_policy,
     )
     pc = PavrmConfig(loss="ce", feature_layer=(8,))
     # worst-case mid, pinned for reproducible timing
@@ -136,6 +141,23 @@ def main():
     our_flops = step_flops(_bench_params(), l_bench, BENCH_DIM, BENCH_LAYERS,
                            ROLLOUT_STEPS - 2)
     achieved_tfs = our_flops / sec / 1e12
+
+    # bottom-up MEASURED-COMPOSED estimate (scripts/estimate_14b_step.py:
+    # real 14B-dim components at the 18.9k-token Ulysses shard, composed
+    # into the full refl+SFT step) — published alongside the FLOP-ratio
+    # extrapolation per VERDICT r2 item 2
+    composed = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_COMPOSED.json")) as f:
+            c = json.load(f)
+        composed = {
+            "composed_14b_8chip_s": c["composed_step_s"],
+            "composed_mfu_pct": c["composed_mfu_pct_v5e"],
+            "vs_baseline_composed": round(51.11 / c["composed_step_s"], 3),
+        }
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "prfl_step_seconds_0.6b_3120tok_1chip",
         "value": round(sec, 3),
@@ -148,6 +170,7 @@ def main():
         "achieved_tflops_per_chip": round(achieved_tfs, 1),
         "assumed_peak_tflops_bf16_v5e": 197,
         "mfu_pct": round(100 * achieved_tfs / 197, 1),
+        **composed,
     }))
 
 

@@ -45,6 +45,9 @@ NEG_INF = -1e30
 # one [BQ, 1] multiply.
 LOG2E = 1.4426950408889634
 LN2 = 0.6931471805599453
+import os as _os
+# A/B switch: exp2 softmax with log2e folded into the q scale vs plain exp
+FLASH_EXP2 = _os.environ.get("HYV_FLASH_EXP2", "1") == "1"
 
 
 def _mask_cols(s, valid, off):
@@ -54,18 +57,15 @@ def _mask_cols(s, valid, off):
 
 def _apply_mask(s, mask_mode, len_ref, lk, block_k, k_idx, n_k):
     """mask_mode: None | "user" (per-row dynamic k_valid_len) | "pad"
-    (static padding only — every key < lk is valid, so only the LAST k
-    block is partial and the [BQ, BK] iota/compare/select VPU passes are
-    branched away for the other n_k-1 blocks)."""
+    (static padding only — the valid bound is the compile-time lk, no
+    scalar-prefetch read). NOTE: an earlier revision branched the pad mask
+    to the last k block with lax.cond; measured 117 -> 74 TF/s on v5e —
+    scf.if in the inner loop defeats Mosaic's pipelining. Unconditional
+    masking costs ~3 VPU passes and keeps the pipeline."""
     if mask_mode == "user":
         return _mask_cols(s, len_ref[pl.program_id(0)], k_idx * block_k)
     if mask_mode == "pad":
-        if n_k == 1:
-            return _mask_cols(s, lk, 0)
-        return jax.lax.cond(
-            k_idx == n_k - 1,
-            lambda s: _mask_cols(s, lk, k_idx * block_k),
-            lambda s: s, s)
+        return _mask_cols(s, lk, k_idx * block_k)
     return s
 
 
@@ -85,8 +85,11 @@ def _interpret() -> bool:
 
 
 def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                acc_ref, m_ref, l_ref, *, block_k, scale, n_k, masked, lk):
+                acc_ref, m_ref, l_ref, *, block_k, scale, n_k, masked, lk,
+                exp2):
     k_idx = pl.program_id(2)
+    expf = jnp.exp2 if exp2 else jnp.exp
+    e_sc = LOG2E if exp2 else 1.0
 
     @pl.when(k_idx == 0)
     def _init():
@@ -94,22 +97,22 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    # fold the softmax scale AND log2(e) into the [BQ, D] q block (25x fewer
-    # elements than scaling the [BQ, BK] score matrix on the VPU); the
-    # softmax then runs in exp2 space
-    q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
+    # fold the softmax scale (and log2(e) under the exp2 softmax) into the
+    # [BQ, D] q block — 25x fewer elements than scaling the [BQ, BK] score
+    # matrix on the VPU
+    q = (q_ref[0].astype(jnp.float32) * (scale * e_sc)).astype(q_ref.dtype)
     k = k_ref[0]  # [BK, D]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [BQ, BK], log2-scaled logits
+    )  # [BQ, BK]
 
     s = _apply_mask(s, masked, len_ref, lk, block_k, k_idx, n_k)
 
     m_prev = m_ref[:]  # [BQ, 128] (broadcast lanes)
     m_cur = jnp.max(s, axis=1, keepdims=True)  # [BQ, 1]
     m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-    corr = jnp.exp2(m_prev[:, :1] - m_new[:, :1])  # [BQ, 1]
-    p = jnp.exp2(s - m_new[:, :1])  # [BQ, BK] f32
+    corr = expf(m_prev[:, :1] - m_new[:, :1])  # [BQ, 1]
+    p = expf(s - m_new[:, :1])  # [BQ, BK] f32
     l_new = l_ref[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
     acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -124,22 +127,27 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
         # natural-units lse at the kernel boundary
-        lse_ref[0] = (m_ref[:] +
-                      jnp.log2(jnp.maximum(l_ref[:], 1e-30))) * LN2
+        if exp2:
+            lse_ref[0] = (m_ref[:] +
+                          jnp.log2(jnp.maximum(l_ref[:], 1e-30))) * LN2
+        else:
+            lse_ref[0] = m_ref[:] + jnp.log(jnp.maximum(l_ref[:], 1e-30))
 
 
 def _fwd_kernel_single(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                       *, block_k, scale, masked, lk):
+                       *, block_k, scale, masked, lk, exp2):
     """Single-k-block forward (the full-K fast path): plain softmax, no
     online-update scratch or rescale chain."""
-    q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
+    expf = jnp.exp2 if exp2 else jnp.exp
+    e_sc = LOG2E if exp2 else 1.0
+    q = (q_ref[0].astype(jnp.float32) * (scale * e_sc)).astype(q_ref.dtype)
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [BQ, BK]
     s = _apply_mask(s, masked, len_ref, lk, block_k, 0, 1)
     m = jnp.max(s, axis=1, keepdims=True)  # [BQ, 1]
-    p = jnp.exp2(s - m)
+    p = expf(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
     l_safe = jnp.where(l == 0.0, 1.0, l)
     acc = jax.lax.dot_general(
@@ -147,28 +155,33 @@ def _fwd_kernel_single(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         preferred_element_type=jnp.float32,
     )
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    lse = (m + jnp.log2(jnp.maximum(l, 1e-30))) * LN2
+    if exp2:
+        lse = (m + jnp.log2(jnp.maximum(l, 1e-30))) * LN2
+    else:
+        lse = m + jnp.log(jnp.maximum(l, 1e-30))
     lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-               dq_ref, dq_acc, *, block_k, scale, n_k, masked, lk):
+               dq_ref, dq_acc, *, block_k, scale, n_k, masked, lk, exp2):
     k_idx = pl.program_id(2)
+    expf = jnp.exp2 if exp2 else jnp.exp
+    e_sc = LOG2E if exp2 else 1.0
 
     @pl.when(k_idx == 0)
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    # scale (+log2e for the exp2 softmax) folds into the [*, D] operands:
+    # scale (+log2e under the exp2 softmax) folds into the [*, D] operands:
     # q for the score matmul, k for the dq matmul — small scalings replace
     # per-element [BQ, BK] VPU passes
-    q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
+    q = (q_ref[0].astype(jnp.float32) * (scale * e_sc)).astype(q_ref.dtype)
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     s = _apply_mask(s, masked, len_ref, lk, block_k, k_idx, n_k)
-    p = jnp.exp2(s - lse_ref[0][:, :1] * LOG2E)  # [BQ, BK]
+    p = expf(s - lse_ref[0][:, :1] * e_sc)  # [BQ, BK]
     dp = jax.lax.dot_general(
         do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -187,8 +200,10 @@ def _dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, dk_acc, dv_acc, *, block_k, scale, n_q,
-                masked, lk):
+                masked, lk, exp2):
     q_idx = pl.program_id(2)
+    expf = jnp.exp2 if exp2 else jnp.exp
+    e_sc = LOG2E if exp2 else 1.0
 
     @pl.when(q_idx == 0)
     def _init():
@@ -198,7 +213,7 @@ def _dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     # two scaled q views: score matmul wants scale*log2e (exp2 softmax),
     # the dk matmul wants plain scale (ds is d/d(natural logits))
     qf = q_ref[0].astype(jnp.float32)
-    q = (qf * (scale * LOG2E)).astype(q_ref.dtype)  # [BQ, D]
+    q = (qf * (scale * e_sc)).astype(q_ref.dtype)  # [BQ, D]
     q_s = (qf * scale).astype(q_ref.dtype)
     k = k_ref[0]  # [BK, D]
     s = jax.lax.dot_general(
@@ -207,7 +222,7 @@ def _dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k_idx = pl.program_id(1)
     s = _apply_mask(s, masked, len_ref, lk, block_k, k_idx,
                     pl.num_programs(1))
-    p = jnp.exp2(s - lse_ref[0][:, :1] * LOG2E)  # [BQ, BK]
+    p = expf(s - lse_ref[0][:, :1] * e_sc)  # [BQ, BK]
     # dv += P^T dO
     dv_acc[:] += jax.lax.dot_general(
         p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
@@ -245,16 +260,12 @@ def pick_blocks(lq: int, lk: int):
     is ~bq 240 on v5e at d=128)."""
     lk128 = _pad_len(lk, 128)
     full_k = lk128 <= FULL_K_MAX
-    if full_k:
-        block_k = lk128
-    else:
-        # streaming regime: pick block_k among MXU-tile multiples to
-        # minimize k PADDING (padded key columns are wasted MXU work even
-        # when branch-masked): 18,900 tokens pad 8.4% at 2048 but only
-        # 1.6% at 1920; 75,600 pads 0.23% at 2048. Ties -> larger block
-        # (fewer online-softmax rescale steps).
-        cands = range(1536, 2560 + 1, 128)
-        block_k = min(cands, key=lambda bk: (_pad_len(lk, bk), -bk))
+    # streaming regime: 2048 measured best. Pad-minimizing block_k (1920
+    # at 18,900 tokens: 1.6% vs 8.4% padding) measured EQUAL on fwd
+    # (61.4 vs 59.3 ms with exp2) and within noise on bwd — the kernel is
+    # not MXU-bound at the padding margin, so the smaller block's extra
+    # online-softmax rescale steps cancel the pad saving.
+    block_k = lk128 if full_k else DEFAULT_BLOCK_K
     lq128 = _pad_len(lq, 128)
     if lq128 <= DEFAULT_BLOCK_Q:
         return lq128, block_k
@@ -308,7 +319,7 @@ def _flash_fwd_impl(q, k, v, valid, block_q, block_k, masked, lk_true):
                                  masked, lk_true)
     kernel = functools.partial(
         _fwd_kernel, block_k=block_k, scale=scale, n_k=n_k, masked=masked,
-        lk=lk_true,
+        lk=lk_true, exp2=FLASH_EXP2,
     )
     grid = (bn, n_q, n_k)
     o, lse = pl.pallas_call(
@@ -348,7 +359,7 @@ def _flash_fwd_single(q, k, v, valid, block_q, block_k, scale, masked,
     bn, lq, d = q.shape
     kernel = functools.partial(
         _fwd_kernel_single, block_k=block_k, scale=scale, masked=masked,
-        lk=lk_true,
+        lk=lk_true, exp2=FLASH_EXP2,
     )
     o, lse = pl.pallas_call(
         kernel,
@@ -401,7 +412,7 @@ def _flash_bwd(block_q, block_k, masked, lk_true, res, do):
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, block_k=block_k, scale=scale, n_k=n_k,
-                          masked=masked, lk=lk_true),
+                          masked=masked, lk=lk_true, exp2=FLASH_EXP2),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bn, n_q, n_k),
@@ -424,7 +435,7 @@ def _flash_bwd(block_q, block_k, masked, lk_true, res, do):
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, block_k=block_k, scale=scale, n_q=n_q,
-                          masked=masked, lk=lk_true),
+                          masked=masked, lk=lk_true, exp2=FLASH_EXP2),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bn, n_k, n_q),

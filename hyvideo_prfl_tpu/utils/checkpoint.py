@@ -351,3 +351,25 @@ def save_wan_checkpoint(params: Dict, cfg: WanConfig, path: str,
             "text_len": cfg.text_len, "eps": cfg.eps,
         }, f, indent=2)
     return path
+
+
+def load_reward_head(path: str, kind: str):
+    """Load a PAVRM reward head from either our orbax dir or a released
+    torch checkpoint (mlp_step_<n>.ckpt / query_attention_step_<n>.ckpt,
+    train_pavrm.py:993-998, network.py:216-217). kind: "mlp" | "qattn".
+    Returns the flax param tree {"params": ...}."""
+    if os.path.isdir(path):
+        tree = load_orbax(path)
+        return tree if "params" in tree else {"params": tree}
+    from . import convert_encoders as ce
+
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    state = {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
+             for k, v in state.items()}
+    conv = (ce.reward_mlp_torch_to_flax if kind == "mlp"
+            else ce.query_attention_torch_to_flax)
+    return conv(state)

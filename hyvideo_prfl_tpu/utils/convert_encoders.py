@@ -340,3 +340,70 @@ def vae_flax_to_torch(params: Dict, cfg: VAEConfig) -> Dict[str, np.ndarray]:
     put_conv3d("conv1", pp["conv1"])
     put_conv3d("conv2", pp["conv2"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# PAVRM reward heads (utils/network.py MLP + QueryAttention; released as
+# mlp_step_<n>.ckpt / query_attention_step_<n>.ckpt torch state dicts,
+# train_pavrm.py:993-998)
+# ---------------------------------------------------------------------------
+
+
+def reward_mlp_torch_to_flax(state: Dict[str, np.ndarray]) -> Dict:
+    """fc1/fc2/fc3 Linears (network.py:112-134) -> RewardMLP Dense_0..2."""
+    return {"params": {
+        f"Dense_{i}": {"kernel": jnp.asarray(_lin(state[f"fc{i + 1}.weight"])),
+                       "bias": jnp.asarray(state[f"fc{i + 1}.bias"])}
+        for i in range(3)
+    }}
+
+
+def reward_mlp_flax_to_torch(params: Dict) -> Dict[str, np.ndarray]:
+    p = params["params"]
+    out = {}
+    for i in range(3):
+        out[f"fc{i + 1}.weight"] = _lin(p[f"Dense_{i}"]["kernel"])
+        out[f"fc{i + 1}.bias"] = np.asarray(p[f"Dense_{i}"]["bias"])
+    return out
+
+
+def query_attention_torch_to_flax(state: Dict[str, np.ndarray]) -> Dict:
+    """torch nn.MultiheadAttention (fused in_proj) + learned queries
+    (network.py:8-110) -> our explicit wq/wk/wv/wo tree. x @ w convention:
+    kernel = torch_weight.T."""
+    w_in = np.asarray(state["multihead_attn.in_proj_weight"])  # [3d, d]
+    b_in = np.asarray(state["multihead_attn.in_proj_bias"])
+    d = w_in.shape[1]
+    p = {
+        "queries": jnp.asarray(state["queries"]),
+        "wq": jnp.asarray(_lin(w_in[:d])),
+        "wk": jnp.asarray(_lin(w_in[d:2 * d])),
+        "wv": jnp.asarray(_lin(w_in[2 * d:])),
+        "bq": jnp.asarray(b_in[:d]),
+        "bk": jnp.asarray(b_in[d:2 * d]),
+        "bv": jnp.asarray(b_in[2 * d:]),
+        "wo": jnp.asarray(_lin(state["multihead_attn.out_proj.weight"])),
+        "bo": jnp.asarray(state["multihead_attn.out_proj.bias"]),
+    }
+    if "text_proj.weight" in state:
+        p["text_proj"] = {"kernel": jnp.asarray(_lin(state["text_proj.weight"])),
+                          "bias": jnp.asarray(state["text_proj.bias"])}
+    return {"params": p}
+
+
+def query_attention_flax_to_torch(params: Dict) -> Dict[str, np.ndarray]:
+    p = params["params"]
+    w_in = np.concatenate([_lin(p["wq"]), _lin(p["wk"]), _lin(p["wv"])])
+    b_in = np.concatenate([np.asarray(p["bq"]), np.asarray(p["bk"]),
+                           np.asarray(p["bv"])])
+    out = {
+        "queries": np.asarray(p["queries"]),
+        "multihead_attn.in_proj_weight": w_in,
+        "multihead_attn.in_proj_bias": b_in,
+        "multihead_attn.out_proj.weight": _lin(p["wo"]),
+        "multihead_attn.out_proj.bias": np.asarray(p["bo"]),
+    }
+    if "text_proj" in p:
+        out["text_proj.weight"] = _lin(p["text_proj"]["kernel"])
+        out["text_proj.bias"] = np.asarray(p["text_proj"]["bias"])
+    return out

@@ -169,11 +169,12 @@ class PromptExpander:
 
 
 def _resize_for_vl(image, max_image_size: int = 512 * 512):
-    """Area-capped aspect-preserving resize (prompt_extend.py:239-247)."""
-    from PIL import Image
+    """Area-capped aspect-preserving resize (prompt_extend.py:239-247).
+    Input goes through vision_io.fetch_image first, so URLs, file:// and
+    data:image base64 references work (qwen_vl_utils.py parity)."""
+    from .vision_io import fetch_image
 
-    if isinstance(image, str):
-        image = Image.open(image).convert("RGB")
+    image = fetch_image(image, resize=False)
     w, h = image.width, image.height
     area = min(w * h, max_image_size)
     ar = h / w

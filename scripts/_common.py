@@ -172,6 +172,15 @@ def make_train_loader(config, dataset, mesh, start_index: int = 0):
 
 def dit_cfg_from(config, **overrides):
     cfg = dit_config_for_task(config.task, **overrides)
+    # reference YAML schema: model.gradient_checkpointing toggles remat
+    # (fsdp_utils.py:23-50); model.remat_policy is our extension selecting
+    # the policy ("full" | "dots" | "dots_all" | "attn" — wan_dit.WanConfig)
+    gc = config.get_path("model.gradient_checkpointing")
+    if gc is not None:
+        cfg = dataclasses.replace(cfg, remat=bool(gc))
+    rp = config.get_path("model.remat_policy")
+    if rp:
+        cfg = dataclasses.replace(cfg, remat_policy=str(rp))
     ov = config.get_path("model.override")
     if ov:
         cfg = dataclasses.replace(cfg, **{k: tuple(v) if isinstance(v, list)

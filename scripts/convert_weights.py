@@ -35,7 +35,7 @@ def _load_torch_state(path):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("kind", choices=["dit", "vae", "t5", "clip"])
+    p.add_argument("kind", choices=["dit", "vae", "t5", "clip", "mlp", "qattn"])
     p.add_argument("--src", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--task", default="t2v-14b", help="dit only")
@@ -61,10 +61,14 @@ def main():
             from hyvideo_prfl_tpu.models.t5 import umt5_xxl
 
             params = ce.t5_torch_to_flax(state, umt5_xxl())
-        else:
+        elif args.kind == "clip":
             from hyvideo_prfl_tpu.models.clip import vit_h_14
 
             params = ce.clip_torch_to_flax(state, vit_h_14())
+        elif args.kind == "mlp":
+            params = ce.reward_mlp_torch_to_flax(state)
+        else:  # qattn
+            params = ce.query_attention_torch_to_flax(state)
         ck.save_orbax(args.out, params)
     logging.info("wrote %s", args.out)
     return 0

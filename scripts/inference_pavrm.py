@@ -57,8 +57,9 @@ def main(config, max_samples=None):
         trainable = {"blocks": trimmed["params"]["blocks"]}
         frozen = {"params": {k: v for k, v in trimmed["params"].items()
                              if k != "blocks"}}
-        qp = {"params": ck.load_orbax(config.model.lrm_query_attention_path)}
-        mp = {"params": ck.load_orbax(config.model.lrm_mlp_path)}
+        qp = ck.load_reward_head(
+            config.model.lrm_query_attention_path, "qattn")
+        mp = ck.load_reward_head(config.model.lrm_mlp_path, "mlp")
         trainable["q_attn"] = qp["params"]
         trainable["mlp"] = mp["params"]
     else:

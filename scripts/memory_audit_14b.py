@@ -148,7 +148,8 @@ def inference_audit():
 def main():
     _ensure_env()
     p = argparse.ArgumentParser()
-    p.add_argument("--policy", default="full", choices=["full", "dots"])
+    p.add_argument("--policy", default="full",
+               choices=["full", "dots", "attn"])
     p.add_argument("--offload", action="store_true",
                    help="pinned-host out-shardings for the optimizer state")
     p.add_argument("--rollout", type=int, default=40)

@@ -97,8 +97,9 @@ def main(config, max_steps=None):
     if lrm_path and os.path.isdir(lrm_path):
         lrm_full = ck.load_wan_checkpoint(lrm_path, dit_cfg)
         lrm_dit = common.slice_blocks(lrm_full, model.lrm.dit_cfg.num_layers)
-        lq = ck.load_orbax(config.model.lrm_query_attention_path)
-        lm = ck.load_orbax(config.model.lrm_mlp_path)
+        lq = ck.load_reward_head(
+            config.model.lrm_query_attention_path, "qattn")["params"]
+        lm = ck.load_reward_head(config.model.lrm_mlp_path, "mlp")["params"]
         lrm_q, lrm_m = {"params": lq}, {"params": lm}
     else:
         logging.info("no LRM checkpoint; random init (smoke mode)")

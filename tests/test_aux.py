@@ -451,3 +451,53 @@ def test_batched_eval_dispatch_count_and_alignment():
     assert probs[:5] == [0.0, 1.0, 2.0, 3.0, 0.0]
     assert labels == [float(i % 2) for i in range(5)] + \
         [float((i + 1) % 2) for i in range(8)]
+
+
+def test_vision_io_fetch_and_smart_resize(tmp_path):
+    """qwen_vl_utils parity (utils/vision_io.py): smart_resize factor/pixel
+    contract + fetch_image across reference kinds (path, file://, data:
+    base64, numpy, PIL)."""
+    import base64
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from hyvideo_prfl_tpu.utils import vision_io as vio
+
+    # smart_resize: factor-28 multiples within pixel bounds, aspect kept
+    h, w = vio.smart_resize(481, 833)
+    assert h % 28 == 0 and w % 28 == 0
+    assert vio.MIN_PIXELS <= h * w <= vio.MAX_PIXELS
+    assert abs((h / w) - (481 / 833)) < 0.1
+    # max_pixels clamp
+    h, w = vio.smart_resize(4000, 4000, max_pixels=1000 * 28 * 28)
+    assert h * w <= 1000 * 28 * 28
+    # min_pixels raise
+    h, w = vio.smart_resize(10, 10)
+    assert h * w >= vio.MIN_PIXELS
+    try:
+        vio.smart_resize(28, 28 * 300)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+
+    img = Image.fromarray(
+        (np.random.RandomState(0).rand(50, 70, 3) * 255).astype("uint8"))
+    p = tmp_path / "x.png"
+    img.save(p)
+    for ref in (img, str(p), f"file://{p}",
+                np.asarray(img),
+                np.asarray(img, np.float32) / 127.5 - 1.0):
+        out = vio.fetch_image(ref)
+        assert out.mode == "RGB"
+        assert out.width % 28 == 0 and out.height % 28 == 0
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    uri = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+    out = vio.fetch_image(uri)
+    assert out.mode == "RGB"
+    # resize=False keeps original dims (prompt_extend loading path)
+    out = vio.fetch_image(str(p), resize=False)
+    assert (out.width, out.height) == (70, 50)

@@ -68,3 +68,53 @@ def test_vae_roundtrip():
     o1 = m.apply(params, z, method=m.decode)
     o2 = m.apply(back, z, method=m.decode)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+
+def test_reward_head_converters_roundtrip():
+    """MLP + QueryAttention torch-format converters (released
+    mlp_step_*.ckpt / query_attention_step_*.ckpt, network.py:216-217)."""
+    import jax
+    import numpy as np
+
+    from hyvideo_prfl_tpu.models import reward as rw
+
+    d = 64
+    mlp = rw.RewardMLP().init(jax.random.PRNGKey(0), jnp.zeros((1, d)))
+    state = ce.reward_mlp_flax_to_torch(jax.device_get(mlp))
+    assert set(state) == {f"fc{i}.{k}" for i in (1, 2, 3)
+                          for k in ("weight", "bias")}
+    assert state["fc1.weight"].shape == (1024, d)
+    back = ce.reward_mlp_torch_to_flax(state)
+    for a, b in zip(jax.tree.leaves(mlp), jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    qa_mod = rw.QueryAttention(feature_dim=d, num_heads=4,
+                               return_type="query")
+    qa = qa_mod.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, d)))
+    state = ce.query_attention_flax_to_torch(jax.device_get(qa))
+    assert state["multihead_attn.in_proj_weight"].shape == (3 * d, d)
+    back = ce.query_attention_torch_to_flax(state)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, d), jnp.float32)
+    o1 = qa_mod.apply(qa, x)
+    o2 = qa_mod.apply(back, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+
+def test_load_reward_head_torch_ckpt(tmp_path):
+    """load_reward_head accepts released torch .ckpt files directly."""
+    import jax
+    import numpy as np
+    import torch
+
+    from hyvideo_prfl_tpu.models import reward as rw
+    from hyvideo_prfl_tpu.utils import checkpoint as ck
+
+    d = 32
+    mlp = rw.RewardMLP().init(jax.random.PRNGKey(0), jnp.zeros((1, d)))
+    state = ce.reward_mlp_flax_to_torch(jax.device_get(mlp))
+    p = tmp_path / "mlp_step_100.ckpt"
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in state.items()}, p)
+    tree = ck.load_reward_head(str(p), "mlp")
+    for a, b in zip(jax.tree.leaves(mlp), jax.tree.leaves(tree)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
