@@ -297,7 +297,19 @@ class CrossAttention(nn.Module):
             q = q.reshape(b, l, n, d)
             k = k.reshape(b, -1, n, d)
             qk_layout = "blnd"
-        out = dot_product_attention(q, k, v, qk_layout=qk_layout)
+        # multichip: q stays token-sharded, the short context replicated —
+        # per-device flash on the local q chunk (zero fwd collectives)
+        from ..ops.attention import (
+            token_parallel_applicable, token_parallel_attention,
+        )
+
+        if policy is not None and token_parallel_applicable(
+                b, l, policy.tokens):
+            attn = functools.partial(token_parallel_attention,
+                                     tokens_spec=policy.tokens)
+        else:
+            attn = dot_product_attention
+        out = attn(q, k, v, qk_layout=qk_layout)
         if is_i2v:
             context_img = context_img.astype(cd)
             k_img = _dense("k_img", cfg.dim, cd)(context_img)
@@ -311,8 +323,7 @@ class CrossAttention(nn.Module):
                 )
             else:
                 k_img = k_img.reshape(b, -1, n, d)
-            out = out + dot_product_attention(q, k_img, v_img,
-                                              qk_layout=qk_layout)
+            out = out + attn(q, k_img, v_img, qk_layout=qk_layout)
         out = out.reshape(b, l, cfg.dim)
         return _dense("o", cfg.dim, cd)(out)
 

@@ -37,6 +37,37 @@ def multichip_context() -> bool:
         return False
 
 
+def shard_map_mesh_available() -> bool:
+    """True when an ambient multi-device mesh is set, i.e. the explicit
+    shard_map paths (ulysses/token-parallel attention) can be used."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        return mesh is not None and not mesh.empty and mesh.size > 1
+    except Exception:
+        return False
+
+
+def _spec_axis_size(mesh, ax) -> int:
+    if ax is None:
+        return 1
+    axes = ax if isinstance(ax, tuple) else (ax,)
+    size = 1
+    for a in axes:
+        size *= mesh.shape.get(a, 1)
+    return size
+
+
+def token_parallel_applicable(b: int, lq: int, tokens_spec) -> bool:
+    """Whether token_parallel_attention can run: an ambient multi-device
+    mesh is set AND the batch/sequence dims divide their mesh axes exactly
+    (shard_map, unlike GSPMD constraints, does not pad)."""
+    if not shard_map_mesh_available():
+        return False
+    mesh = jax.sharding.get_abstract_mesh()
+    return (b % _spec_axis_size(mesh, tokens_spec[0]) == 0
+            and lq % _spec_axis_size(mesh, tokens_spec[1]) == 0)
+
+
 def set_default_backend(name: str) -> None:
     global _DEFAULT_BACKEND
     assert name in ("auto", "xla", "flash")
@@ -47,12 +78,18 @@ def get_default_backend() -> str:
     return _DEFAULT_BACKEND
 
 
-def _resolve_auto(d: int, lk: int, in_shard_map: bool = False) -> str:
+def _resolve_auto(d: int, lk: int, lq: int = 0,
+                  in_shard_map: bool = False) -> str:
     """auto: Pallas flash on TPU for long self-attention-sized sequences
-    (where XLA would materialize the [Lq, Lk] logits in HBM); XLA einsum
-    otherwise (short cross-attention, CPU tests). Multi-device pjit programs
-    get the custom_partitioning wrapper (ops/flash_sharded.py), so flash
-    engages under GSPMD/Shardy too.
+    (where XLA would materialize the [Lq, Lk] logits in HBM), AND for
+    short-key cross-attention once the query side is long: at lq=18,900 x
+    lk=512 (the 14B 720p sp=4 shard) XLA's fp32 logits round-trip HBM and
+    measure 24.7 ms fwd / 90.6 TF/s vs the kernel's single full-K block at
+    17.3 ms / 129.2 TF/s (fwd+bwd 48.6 vs 40.7 ms, max |delta| 2.4e-4 —
+    scripts/profile_cross_14b.py on v5e). Short-lq cross (bench scale,
+    reward heads, CPU tests) stays on XLA einsum. Multi-device pjit
+    programs get the custom_partitioning wrapper (ops/flash_sharded.py),
+    so flash engages under GSPMD/Shardy too.
 
     "On TPU" is decided by the Pallas interpret-mode rule rather than the
     client backend: an AOT compile for a TPU topology runs in a CPU-client
@@ -61,7 +98,11 @@ def _resolve_auto(d: int, lk: int, in_shard_map: bool = False) -> str:
     from .flash_attention import _interpret
 
     on_tpu = not _interpret()
-    return "flash" if (on_tpu and d % 128 == 0 and lk >= 1024) else "xla"
+    # cross threshold: flash beats XLA at every measured lq — 18,900
+    # (17.3 vs 24.7 ms), 8,190 (7.0 vs 10.1), 3,120 (1.6 vs 2.2 fwd,
+    # 2.9 vs 5.2 fwd+bwd). Below ~3k the op is negligible; stay XLA.
+    big = lk >= 1024 or (lq >= 3072 and lk >= 128)
+    return "flash" if (on_tpu and d % 128 == 0 and big) else "xla"
 
 
 def dot_product_attention(
@@ -82,9 +123,10 @@ def dot_product_attention(
     """
     bnld_in = qk_layout == "bnld"
     lk = k.shape[2] if bnld_in else k.shape[1]
+    lq = q.shape[2] if bnld_in else q.shape[1]
     backend = backend or _DEFAULT_BACKEND
     if backend == "auto":
-        backend = _resolve_auto(q.shape[-1], lk)
+        backend = _resolve_auto(q.shape[-1], lk, lq)
     if backend == "flash":
         if multichip_context():
             import os
@@ -143,7 +185,8 @@ def ulysses_attention(
         qh, kh, vh = a2a_heads(q), a2a_heads(k), a2a_heads(v)
         be = backend or _DEFAULT_BACKEND
         if be == "auto":
-            be = _resolve_auto(qh.shape[-1], kh.shape[1], in_shard_map=True)
+            be = _resolve_auto(qh.shape[-1], kh.shape[1], qh.shape[1],
+                               in_shard_map=True)
         if be == "flash":
             # inside shard_map the kernel is already per-device: call the
             # plain kernel, never the custom_partitioning wrapper
@@ -160,6 +203,49 @@ def ulysses_attention(
     # annotation, which the vma checker rejects inside shard_map
     return jax.shard_map(
         inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
+
+
+def token_parallel_attention(q, k, v, tokens_spec, qk_layout: str = "blnd"):
+    """Sequence-parallel CROSS attention: q rows stay token-sharded, the
+    short k/v context is replicated — each device runs the local kernel on
+    its own q chunk against the full keys. Attention rows are independent,
+    so the forward needs ZERO collectives; shard_map's transpose inserts
+    the psum that homes the replicated k/v cotangents.
+
+    This is the layout GSPMD already picks for the einsum path; the explicit
+    shard_map lets the Pallas flash kernel run per-device instead (at the
+    14B 720p sp=4 shard — lq 18,900 x lk 512 — flash measures 17.3 ms fwd
+    vs 24.7 XLA, 40.7 vs 48.6 fwd+bwd; scripts/profile_cross_14b.py).
+    Reference parity: cross attention never masks context tokens
+    (model.py:597 context_lens=None).
+
+    tokens_spec: the policy's [B, L, D] token PartitionSpec — axis 0 names
+    the batch mesh axes, axis 1 the sequence mesh axes (a tuple under USP).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    mesh = jax.sharding.get_abstract_mesh()
+    b_ax, seq_ax = tokens_spec[0], tokens_spec[1]
+    rep = P(b_ax, None, None, None)
+    qspec = (P(b_ax, None, seq_ax, None) if qk_layout == "bnld"
+             else P(b_ax, seq_ax, None, None))
+
+    def inner(q, k, v):
+        lq = q.shape[2] if qk_layout == "bnld" else q.shape[1]
+        lk = k.shape[2] if qk_layout == "bnld" else k.shape[1]
+        be = _resolve_auto(q.shape[-1], lk, lq, in_shard_map=True)
+        if be == "flash":
+            from .flash_attention import flash_attention
+
+            return flash_attention(q, k, v, qk_layout=qk_layout)
+        return _xla_attention(q, k, v, None, qk_layout=qk_layout)
+
+    return jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(qspec, rep, rep),
+        out_specs=P(b_ax, seq_ax, None, None),
         check_vma=False,
     )(q, k, v)
 

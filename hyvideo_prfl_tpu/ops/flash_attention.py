@@ -260,12 +260,17 @@ def pick_blocks(lq: int, lk: int):
     is ~bq 240 on v5e at d=128)."""
     lk128 = _pad_len(lk, 128)
     full_k = lk128 <= FULL_K_MAX
-    # streaming regime: 2048 measured best. Pad-minimizing block_k (1920
-    # at 18,900 tokens: 1.6% vs 8.4% padding) measured EQUAL on fwd
-    # (61.4 vs 59.3 ms with exp2) and within noise on bwd — the kernel is
-    # not MXU-bound at the padding margin, so the smaller block's extra
-    # online-softmax rescale steps cancel the pad saving.
-    block_k = lk128 if full_k else DEFAULT_BLOCK_K
+    # streaming regime: pick block_k from {2048, 1920} by minimal k
+    # padding (prefer the larger on ties). Forward is flat between them,
+    # but the BACKWARD pays for padded keys: at 18,900 tokens bk 1920
+    # (1.6% pad) measures 263.5 ms fwd+bwd vs 268.9 at bk 2048 (8.4%
+    # pad); at 75,600 tokens bk 2048 (0.23% pad) wins the forward sweep
+    # (scripts/profile_flash_ab.py, profile_flash_75k.py).
+    if full_k:
+        block_k = lk128
+    else:
+        block_k = min((DEFAULT_BLOCK_K, 1920),
+                      key=lambda bk: (_pad_len(lk, bk), -bk))
     lq128 = _pad_len(lq, 128)
     if lq128 <= DEFAULT_BLOCK_Q:
         return lq128, block_k
@@ -294,9 +299,12 @@ def _bwd_blocks(lq_p: int, lk_p: int, block_q: int, block_k: int):
     """Backward block sizes: the dq/dkv kernels hold ~3 [BQ, BK] fp32
     temporaries on the Mosaic stack, so the full-K forward blocks
     (e.g. 512x3200 = 6.5 MB/temp) overflow the 16 MB scoped-VMEM limit.
-    Cap the product at 512x1024 with divisors of the padded lengths."""
+    Cap at 512x2048 (12 MB of temporaries — fits, and the larger k block
+    halves the q/do re-streaming: measured 793.8 -> 767.9 ms fwd+bwd at
+    10 heads x 75,600 x d128 vs the round-2 512x1024 cap; 256x2048 is
+    worse, scripts/profile_flash_75k.py)."""
     bq = block_q if block_q <= 512 else _divisor_block(lq_p, 512)
-    bk = block_k if block_k <= 1024 else _divisor_block(lk_p, 1024)
+    bk = block_k if block_k <= 2048 else _divisor_block(lk_p, 2048)
     return bq, bk
 
 

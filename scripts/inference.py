@@ -77,11 +77,25 @@ def args_init(argv=None):
     p.add_argument("--uncond_embeds", default=None)
     p.add_argument("--clip_embeds", default=None)
     p.add_argument("--cond_latent", default=None)
+    p.add_argument("--transformer_path", default=None,
+                   help="post-trained DiT checkpoint dir loaded INSTEAD of "
+                        "--ckpt_dir's transformer (the reference's "
+                        "WanModel.from_pretrained(transformer_path), "
+                        "image2video.py:108-110); accepts reference-format "
+                        "safetensors dirs (which scripts/train_prfl.py "
+                        "exports) or orbax dirs")
     p.add_argument("--lora_path", default=None,
                    help="LoRA checkpoint (.safetensors/.npz, any of the "
                         "transformer/kohya/diffusers key formats) merged "
                         "into the DiT at load (diffusion_utils.py:152-309)")
-    p.add_argument("--lora_scale", type=float, default=1.0)
+    p.add_argument("--lora_scale", "--lora_alpha", type=float, default=1.0,
+                   dest="lora_scale",
+                   help="merge scale for --lora_path (the reference's "
+                        "--lora_alpha)")
+    p.add_argument("--distill_lora_path", default=None,
+                   help="second LoRA (e.g. a distill adapter) merged after "
+                        "--lora_path (arguments.py:188-189)")
+    p.add_argument("--distill_lora_alpha", type=float, default=1.0)
     p.add_argument("--sample_solver", default="unipc",
                    choices=["unipc", "euler", "dpm++"])
     p.add_argument("--sample_steps", type=int, default=None)
@@ -95,6 +109,18 @@ def args_init(argv=None):
                    help="ring attention degree; ring*ulysses devices form "
                         "the USP sequence mesh (inference_prfl.py:71-82)")
     p.add_argument("--save_file", default="out.mp4")
+    p.add_argument("--save_folder", default=None,
+                   help="directory for outputs (inference_prfl.py "
+                        "--save_folder); --save_file is interpreted "
+                        "relative to it")
+    # accepted for reference-CLI compatibility; sharding is always-on via
+    # the device mesh on TPU and models never round-trip host memory
+    # mid-step, so these are informational no-ops (args_wan_init
+    # --offload_model/--t5_fsdp/--t5_cpu/--dit_fsdp)
+    p.add_argument("--offload_model", default=None)
+    p.add_argument("--t5_fsdp", action="store_true")
+    p.add_argument("--t5_cpu", action="store_true")
+    p.add_argument("--dit_fsdp", action="store_true")
     p.add_argument("--vae_params", default=None)
     p.add_argument("--decode_chunk", type=int, default=-1,
                    help="latent frames per streaming-decode chunk "
@@ -110,6 +136,17 @@ def args_init(argv=None):
         args.sample_steps = 40 if "i2v" in args.task else 50
     if args.sample_shift is None:
         args.sample_shift = 3.0 if ("i2v" in args.task and "480" in args.size) else 5.0
+    if args.base_seed < 0:  # arguments.py:213-214
+        import random
+
+        args.base_seed = random.randint(0, 2**31 - 1)
+    if args.save_folder:
+        os.makedirs(args.save_folder, exist_ok=True)
+        args.save_file = os.path.join(args.save_folder,
+                                      os.path.basename(args.save_file))
+    if args.offload_model or args.t5_fsdp or args.t5_cpu or args.dit_fsdp:
+        logging.info("offload/fsdp flags accepted for CLI compatibility: "
+                     "TPU build shards params over the mesh unconditionally")
     return args
 
 
@@ -313,23 +350,36 @@ def main(argv=None):
         tokens = conditioner.clip_cfg.num_patches + 1
         clip_shape = (tokens, conditioner.clip_cfg.dim)
 
-    if args.ckpt_dir and os.path.isdir(args.ckpt_dir):
+    if args.transformer_path and os.path.isdir(args.transformer_path):
+        # post-trained DiT replaces the base transformer entirely
+        # (image2video.py:108-110 WanModel.from_pretrained)
+        if any(f.endswith(".safetensors")
+               for f in os.listdir(args.transformer_path)):
+            params = ck.load_wan_checkpoint(args.transformer_path, dit_cfg)
+        else:
+            params = ck.load_orbax(args.transformer_path)
+        logging.info("loaded transformer from %s", args.transformer_path)
+    elif args.ckpt_dir and os.path.isdir(args.ckpt_dir):
         params = ck.load_wan_checkpoint(args.ckpt_dir, dit_cfg)
     else:
         logging.warning("no --ckpt_dir; random weights (smoke mode)")
         params = wan_dit.init_params(dit_cfg, jax.random.PRNGKey(0),
                                      clip_shape=clip_shape)
 
-    if args.lora_path:
+    for lora_path, scale in ((args.lora_path, args.lora_scale),
+                             (args.distill_lora_path,
+                              args.distill_lora_alpha)):
+        if not lora_path:
+            continue
         from hyvideo_prfl_tpu.training import lora as lora_mod
 
-        state = _load_state_dict(args.lora_path)
+        state = _load_state_dict(lora_path)
         lora = lora_mod.lora_from_state_dict(state,
                                              head_dim=dit_cfg.head_dim)
-        params = lora_mod.apply_lora(params, lora, scale=args.lora_scale)
+        params = lora_mod.apply_lora(params, lora, scale=scale)
         n = sum(len(m) for m in lora["lora"].values())
         logging.info("merged LoRA from %s (%d modules, scale %.2f)",
-                     args.lora_path, n, args.lora_scale)
+                     lora_path, n, scale)
 
     n_dev = len(jax.devices())
     sp = min(args.ulysses_size, n_dev)

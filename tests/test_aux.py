@@ -216,6 +216,76 @@ def test_shard_map_ulysses_matches_single_device(devices8):
                                atol=2e-5, rtol=2e-5)
 
 
+def test_token_parallel_cross_attention(devices8):
+    """Token-parallel cross attention (q sequence-sharded, k/v replicated):
+    forward AND input gradients match single-device — the shard_map
+    transpose must psum the replicated k/v cotangents home."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from hyvideo_prfl_tpu.ops.attention import (
+        _xla_attention, token_parallel_attention,
+    )
+    from hyvideo_prfl_tpu.parallel import sharding as shd
+
+    mesh = shd.make_mesh(data=2, sp=4)
+    b, lq, lk, n, d = 2, 32, 8, 4, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, lq, n, d))
+    k = jax.random.normal(ks[1], (b, lk, n, d))
+    v = jax.random.normal(ks[2], (b, lk, n, d))
+
+    def loss_ref(q, k, v):
+        o = _xla_attention(q, k, v, None)
+        return jnp.sum(o * o), o
+
+    (_, ref), ref_grads = jax.value_and_grad(
+        loss_ref, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+
+    pol = shd.ShardingPolicy()
+    with jax.set_mesh(mesh):
+        qs = jax.device_put(q, NamedSharding(mesh, P("data", "sp")))
+        ks_ = jax.device_put(k, NamedSharding(mesh, P("data")))
+        vs = jax.device_put(v, NamedSharding(mesh, P("data")))
+
+        def loss(q, k, v):
+            o = token_parallel_attention(q, k, v, pol.tokens)
+            return jnp.sum(o * o), o
+
+        (_, out), grads = jax.jit(jax.value_and_grad(
+            loss, argnums=(0, 1, 2), has_aux=True))(qs, ks_, vs)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    for g, gr, name in zip(grads, ref_grads, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(gr), atol=2e-4, rtol=2e-4,
+            err_msg=f"d{name} mismatch (replicated-cotangent psum?)")
+
+
+def test_token_parallel_cross_attention_bnld(devices8):
+    """Head-major q/k layout (the fused qknorm output) through the
+    token-parallel path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from hyvideo_prfl_tpu.ops.attention import (
+        _xla_attention, token_parallel_attention,
+    )
+    from hyvideo_prfl_tpu.parallel import sharding as shd
+
+    mesh = shd.make_mesh(data=2, sp=4)
+    b, lq, lk, n, d = 2, 32, 8, 4, 16
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (b, n, lq, d))
+    k = jax.random.normal(ks[1], (b, n, lk, d))
+    v = jax.random.normal(ks[2], (b, lk, n, d))
+    ref = _xla_attention(q, k, v, None, qk_layout="bnld")
+    pol = shd.ShardingPolicy()
+    with jax.set_mesh(mesh):
+        qs = jax.device_put(q, NamedSharding(mesh, P("data", None, "sp")))
+        out = jax.jit(lambda q, k, v: token_parallel_attention(
+            q, k, v, pol.tokens, qk_layout="bnld"))(qs, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_model_shard_map_ulysses_matches_gspmd(devices8):
     """Full DiT forward: shard_map Ulysses == GSPMD constraints == 1-device."""
     import dataclasses

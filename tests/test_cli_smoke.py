@@ -96,6 +96,36 @@ def test_inference_prompt_file_loop_cli(tmp_path):
             (tmp_path / f"vid_{i:03d}_frames.npy").exists()
 
 
+def test_inference_transformer_path_cli(tmp_path):
+    """--transformer_path loads a post-trained DiT dir (reference-format
+    safetensors, as scripts/train_prfl.py exports) instead of --ckpt_dir
+    (image2video.py:108-110); --save_folder places outputs
+    (inference_prfl.py --save_folder); --lora_alpha is accepted as the
+    reference's spelling of --lora_scale."""
+    import jax
+
+    from hyvideo_prfl_tpu.models import wan_dit
+    from hyvideo_prfl_tpu.utils import checkpoint as ck
+    from scripts.inference import main as inf_main
+
+    cfg = wan_dit.tiny_test(model_type="t2v", in_dim=16)
+    params = wan_dit.init_params(cfg, jax.random.PRNGKey(7))
+    tdir = tmp_path / "transformer"
+    ck.save_wan_checkpoint(params, cfg, str(tdir))
+
+    folder = tmp_path / "outs"
+    rc = inf_main([
+        "--task", "t2v-1.3B", "--smoke_tiny",
+        "--transformer_path", str(tdir),
+        "--prompt", "a boat drifts", "--sample_steps", "2",
+        "--lora_alpha", "1.0",
+        "--save_folder", str(folder), "--save_file", "vid.mp4",
+    ])
+    assert rc == 0
+    assert (folder / "vid.mp4").exists() or \
+        (folder / "vid_frames.npy").exists()
+
+
 def test_inference_flf2v_raw_images_cli(tmp_path):
     """first+last jpg -> flf2v conditioning (514-token CLIP stack, mask on
     both ends; first_last_frame2video.py)."""
