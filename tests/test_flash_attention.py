@@ -107,3 +107,50 @@ def test_bf16_forward():
         np.asarray(out_flash, np.float32), np.asarray(out_xla, np.float32),
         atol=3e-2, rtol=3e-2,
     )
+
+
+def test_block_selection_heuristics():
+    """Measured geometry choices stay pinned (profile_flash_ab/75k):
+    streaming block_k minimizes k padding between 2048 and 1920; the
+    backward caps at 512x2048; full-K engages for short keys."""
+    from hyvideo_prfl_tpu.ops.flash_attention import (
+        _bwd_blocks, _pad_len, pick_blocks,
+    )
+
+    # 18,900 tokens: 1920 pads 1.6% vs 8.4% at 2048 -> pick 1920
+    bq, bk = pick_blocks(18900, 18900)
+    assert (bq, bk) == (512, 1920)
+    # 75,600 tokens: 2048 pads 0.23% vs 1.6% -> pick 2048
+    bq, bk = pick_blocks(75600, 75600)
+    assert (bq, bk) == (512, 2048)
+    # short keys: single full-K block (cross attention)
+    bq, bk = pick_blocks(18900, 512)
+    assert bk == 512
+    # backward keeps blocks <= 512 x 2048 and divisors of padded lengths
+    for lq, lk in ((18900, 18900), (75600, 75600)):
+        fbq, fbk = pick_blocks(lq, lk)
+        lq_p, lk_p = _pad_len(lq, fbq), _pad_len(lk, fbk)
+        bbq, bbk = _bwd_blocks(lq_p, lk_p, fbq, fbk)
+        assert bbq <= 512 and bbk <= 2048
+        assert lq_p % bbq == 0 and lk_p % bbk == 0
+
+
+def test_cross_routing_thresholds():
+    """auto backend: flash for long self-attn (lk>=1024) and long-q cross
+    (lq>=3072); XLA for short everything (reward heads, CPU tests)."""
+    from unittest import mock
+
+    from hyvideo_prfl_tpu.ops import attention as att
+
+    with mock.patch(
+            "hyvideo_prfl_tpu.ops.flash_attention._interpret",
+            return_value=False):
+        assert att._resolve_auto(128, 18900, 18900) == "flash"  # self
+        assert att._resolve_auto(128, 512, 18900) == "flash"    # cross 720p
+        assert att._resolve_auto(128, 512, 3120) == "flash"     # cross bench
+        assert att._resolve_auto(128, 512, 256) == "xla"        # short q
+        assert att._resolve_auto(64, 512, 18900) == "xla"       # d%128 != 0
+    with mock.patch(
+            "hyvideo_prfl_tpu.ops.flash_attention._interpret",
+            return_value=True):
+        assert att._resolve_auto(128, 18900, 18900) == "xla"    # not on TPU
