@@ -13,6 +13,8 @@ WAN_CONFIGS = {
     "t2v-1.3B": wan_dit.t2v_1_3b,
     "i2v-14B": wan_dit.i2v_14b,
     "flf2v-14B": wan_dit.flf2v_14b,
+    # t2i = the t2v model sampled at frame_num 1 (configs/__init__.py:11-13)
+    "t2i-14B": wan_dit.t2v_14b,
 }
 
 # user-facing size name -> (W, H) (configs/__init__.py:32-38)
@@ -44,6 +46,7 @@ SUPPORTED_SIZES = {
     "t2v-1.3B": ("480*832", "832*480"),
     "i2v-14B": ("720*1280", "1280*720", "480*832", "832*480"),
     "flf2v-14B": ("720*1280", "1280*720", "480*832", "832*480"),
+    "t2i-14B": tuple(SIZE_CONFIGS.keys()),  # configs/__init__.py:48
 }
 
 
@@ -53,6 +56,8 @@ def dit_config_for_task(task: str, **kw) -> wan_dit.WanConfig:
     t = task.lower()
     if t.startswith("t2v-1.3b"):
         return wan_dit.t2v_1_3b(**kw)
+    if t.startswith("t2i"):
+        return wan_dit.t2v_14b(**kw)
     if t.startswith("i2v-1.3b"):
         return wan_dit.i2v_1_3b(**kw)
     if t.startswith("t2v-14b"):

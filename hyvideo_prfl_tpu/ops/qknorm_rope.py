@@ -196,7 +196,19 @@ def _local_bwd(eps, do_rope, res, g):
     x, w, c_tab, s_tab = res
     half = w.shape[1] // 2
     s_bwd = jnp.roll(s_tab, half, axis=-1)
-    bl = pick_block_l(x.shape[1], w.shape[0], w.shape[1])
+    # the backward holds ~2x the forward's per-block working set (the du
+    # accumulators + x + dx + g live simultaneously): halve the block
+    # budget by doubling the per-row byte estimate. At bl from the fwd
+    # budget Mosaic ran 76 KB over the 16 MB scoped-VMEM stack at
+    # [1, 3120, 10x128] (bench-scale cross-attn with a flash-produced
+    # head-major cotangent).
+    bl = pick_block_l(x.shape[1], w.shape[0], 2 * w.shape[1])
+    if bl == 0:  # no small-enough divisor: identical math via XLA
+        _, vjp = jax.vjp(
+            lambda x_, w_: _xla_ref(x_, w_, c_tab, s_tab, eps, do_rope),
+            x, w)
+        dx, dw = vjp(g)
+        return dx, dw, None, None
     dx, dw_part = _bwd_call(x, w, c_tab, s_bwd, g, eps, do_rope, bl)
     dw = jnp.sum(dw_part, axis=(0, 1))
     return dx, dw, None, None

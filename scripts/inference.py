@@ -131,7 +131,12 @@ def args_init(argv=None):
                    help="tiny model sizes for CI smoke runs (random "
                         "weights; exercises the full pipeline wiring)")
     args = p.parse_args(argv)
-    # smart defaults (arguments.py:196-207)
+    # smart defaults (arguments.py:196-214)
+    if "t2i" in args.task:
+        if args.frame_num == p.get_default("frame_num"):
+            args.frame_num = 1
+        assert args.frame_num == 1, (
+            f"Unsupport frame_num {args.frame_num} for task {args.task}")
     if args.sample_steps is None:
         args.sample_steps = 40 if "i2v" in args.task else 50
     if args.sample_shift is None:
@@ -315,7 +320,15 @@ def _decode_and_write(lat, args, save_file):
                 "--save_file", save_file,
                 "--decode_chunk", str(max(chunk, 1)),
             ]).returncode
-    written = cache_video(video[0], save_file)
+    if video.shape[1] == 1:  # t2i: single frame -> image file
+        from hyvideo_prfl_tpu.utils.video_io import cache_image
+
+        img_file = save_file
+        if img_file.endswith(".mp4"):
+            img_file = img_file[:-4] + ".png"
+        written = cache_image(video[0, 0], img_file)
+    else:
+        written = cache_video(video[0], save_file)
     if written:
         logging.info("wrote %s", written)
     else:
@@ -330,15 +343,16 @@ def main(argv=None):
     args = args_init(argv)
     logging.basicConfig(level=logging.INFO)
     if args.smoke_tiny:
+        t2x = "t2v" in args.task or "t2i" in args.task
         dit_cfg = wan_dit.tiny_test(
-            model_type=("t2v" if "t2v" in args.task
+            model_type=("t2v" if t2x
                         else "flf2v" if "flf2v" in args.task else "i2v"),
-            in_dim=16 if "t2v" in args.task else 36,
+            in_dim=16 if t2x else 36,
         )
     else:
         dit_cfg = dit_config_for_task(args.task)
 
-    is_i2v = "t2v" not in args.task
+    is_i2v = "t2v" not in args.task and "t2i" not in args.task
     conditioner = None
     if is_i2v and (args.image or args.prompt_file):
         conditioner = _ImageConditioner(args, dit_cfg)
@@ -426,7 +440,7 @@ def main(argv=None):
         num_frames=args.frame_num, sp_size=max(sp * ring, 1),
     )
     if args.smoke_tiny:
-        lat_f, lat_h, lat_w = 3, 8, 8
+        lat_f, lat_h, lat_w = min(lat_f, 3), 8, 8
     gen = GenerateConfig(
         sampling_steps=args.sample_steps, shift=args.sample_shift,
         guide_scale=args.sample_guide_scale, sample_solver=args.sample_solver,
@@ -434,8 +448,9 @@ def main(argv=None):
 
     stem, ext = os.path.splitext(args.save_file)
     latents_out = []
+    t2x = "t2v" in args.task or "t2i" in args.task
     with jax.set_mesh(mesh):
-        if "t2v" in args.task:
+        if t2x:
             pipe = WanT2V(dit_cfg, params, policy)
         else:
             cls = WanFLF2V if "flf2v" in args.task else WanI2V
@@ -447,7 +462,7 @@ def main(argv=None):
             else:
                 ctx = load_or_zeros(args.prompt_embeds,
                                     (1, dit_cfg.text_len, dit_cfg.text_dim))
-            if "t2v" in args.task:
+            if t2x:
                 if args.teacache_thresh is not None:
                     key = ("t2v-1.3b" if "1.3" in args.task.lower()
                            else "t2v-14b")

@@ -126,6 +126,22 @@ def test_inference_transformer_path_cli(tmp_path):
         (folder / "vid_frames.npy").exists()
 
 
+def test_inference_t2i_cli(tmp_path):
+    """t2i-14B = the t2v model at frame_num 1 writing a png
+    (configs/__init__.py:11-13,48; arguments.py:209-211)."""
+    from scripts.inference import main as inf_main
+
+    out = tmp_path / "img.mp4"
+    rc = inf_main([
+        "--task", "t2i-14B", "--smoke_tiny", "--size", "480*832",
+        "--prompt", "a red square", "--sample_steps", "2",
+        "--save_file", str(out),
+    ])
+    assert rc == 0
+    assert (tmp_path / "img.png").exists() or \
+        (tmp_path / "img_frames.npy").exists()
+
+
 def test_inference_flf2v_raw_images_cli(tmp_path):
     """first+last jpg -> flf2v conditioning (514-token CLIP stack, mask on
     both ends; first_last_frame2video.py)."""
