@@ -48,6 +48,25 @@ LN2 = 0.6931471805599453
 import os as _os
 # A/B switch: exp2 softmax with log2e folded into the q scale vs plain exp
 FLASH_EXP2 = _os.environ.get("HYV_FLASH_EXP2", "1") == "1"
+# A/B switch: mask-free static padding ("padfree"). K is zero-padded, so a
+# padded column's score is exactly 0 and its softmax contribution is
+# exp(0 - m) to the denominator only (the matching v row is zero, so the
+# accumulator is untouched). The forward skips the ~3 per-tile VPU masking
+# passes and subtracts n_pad * exp(-m_final) from l once at finish (exact:
+# each pad contribution exp(-m_t) is rescaled by prod(corr) = exp(m_t -
+# m_final) across the online-softmax chain). The backward needs NO
+# correction at all: p_pad columns multiply zero k rows (dq), zero dp
+# contributions (ds = p * (0 - 0) on padded q rows), or write to dk/dv pad
+# rows that the caller slices off. Pad columns can pull m up to 0 when all
+# real scores are negative, which is harmless (softmax is shift-invariant
+# and qk-normed logits are far from the fp32 underflow range).
+FLASH_PADFREE = _os.environ.get("HYV_FLASH_PADFREE", "1") == "1"
+
+
+def _pad_mode() -> str:
+    """Mask mode for static zero-padding (reads the module global so A/B
+    monkeypatching works): 'padfree' (arithmetic correction) or 'pad'."""
+    return "padfree" if FLASH_PADFREE else "pad"
 
 
 def _mask_cols(s, valid, off):
@@ -66,7 +85,7 @@ def _apply_mask(s, mask_mode, len_ref, lk, block_k, k_idx, n_k):
         return _mask_cols(s, len_ref[pl.program_id(0)], k_idx * block_k)
     if mask_mode == "pad":
         return _mask_cols(s, lk, k_idx * block_k)
-    return s
+    return s  # None or "padfree": no in-tile masking
 
 
 def _interpret() -> bool:
@@ -86,7 +105,7 @@ def _interpret() -> bool:
 
 def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 acc_ref, m_ref, l_ref, *, block_k, scale, n_k, masked, lk,
-                exp2):
+                exp2, n_pad=0):
     k_idx = pl.program_id(2)
     expf = jnp.exp2 if exp2 else jnp.exp
     e_sc = LOG2E if exp2 else 1.0
@@ -124,18 +143,20 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     @pl.when(k_idx == n_k - 1)
     def _finish():
         l = l_ref[:, :1]
-        l_safe = jnp.where(l == 0.0, 1.0, l)
+        if n_pad:  # padfree: remove the zero-padded columns' exp(-m) mass
+            l = l - n_pad * expf(-m_ref[:, :1])
+        l_safe = jnp.where(l <= 0.0, 1.0, l)
         o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        lb = jnp.broadcast_to(l, m_ref.shape)
         # natural-units lse at the kernel boundary
         if exp2:
-            lse_ref[0] = (m_ref[:] +
-                          jnp.log2(jnp.maximum(l_ref[:], 1e-30))) * LN2
+            lse_ref[0] = (m_ref[:] + jnp.log2(jnp.maximum(lb, 1e-30))) * LN2
         else:
-            lse_ref[0] = m_ref[:] + jnp.log(jnp.maximum(l_ref[:], 1e-30))
+            lse_ref[0] = m_ref[:] + jnp.log(jnp.maximum(lb, 1e-30))
 
 
 def _fwd_kernel_single(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                       *, block_k, scale, masked, lk, exp2):
+                       *, block_k, scale, masked, lk, exp2, n_pad=0):
     """Single-k-block forward (the full-K fast path): plain softmax, no
     online-update scratch or rescale chain."""
     expf = jnp.exp2 if exp2 else jnp.exp
@@ -149,7 +170,9 @@ def _fwd_kernel_single(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     m = jnp.max(s, axis=1, keepdims=True)  # [BQ, 1]
     p = expf(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
-    l_safe = jnp.where(l == 0.0, 1.0, l)
+    if n_pad:  # padfree: remove the zero-padded columns' exp(-m) mass
+        l = l - n_pad * expf(-m)
+    l_safe = jnp.where(l <= 0.0, 1.0, l)
     acc = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -328,6 +351,7 @@ def _flash_fwd_impl(q, k, v, valid, block_q, block_k, masked, lk_true):
     kernel = functools.partial(
         _fwd_kernel, block_k=block_k, scale=scale, n_k=n_k, masked=masked,
         lk=lk_true, exp2=FLASH_EXP2,
+        n_pad=(lk - lk_true) if masked == "padfree" else 0,
     )
     grid = (bn, n_q, n_k)
     o, lse = pl.pallas_call(
@@ -368,6 +392,7 @@ def _flash_fwd_single(q, k, v, valid, block_q, block_k, scale, masked,
     kernel = functools.partial(
         _fwd_kernel_single, block_k=block_k, scale=scale, masked=masked,
         lk=lk_true, exp2=FLASH_EXP2,
+        n_pad=(k.shape[1] - lk_true) if masked == "padfree" else 0,
     )
     o, lse = pl.pallas_call(
         kernel,
@@ -406,6 +431,11 @@ def _flash_fwd(q, k, v, valid, block_q, block_k, masked, lk_true):
 
 def _flash_bwd(block_q, block_k, masked, lk_true, res, do):
     q, k, v, valid, o, lse = res
+    if masked == "padfree":
+        # pad columns need no backward masking: ds pad columns multiply
+        # zero k rows in dq (= 0), and their dk/dv contributions land only
+        # in pad rows the caller slices off
+        masked = None
     lse = jnp.broadcast_to(lse, (*lse.shape[:2], 128))
     bn, lq, d = q.shape
     lk = k.shape[1]
@@ -529,13 +559,14 @@ def flash_attention(
     valid = jnp.repeat(valid, n)  # [B*N] scalar-prefetch vector
 
     # mask mode: None when every key is valid (no user mask, no k
-    # padding — saves ~3 VPU passes over [BQ, BK] per cell); "pad" when the
-    # only invalid keys are the static padding (mask branched to the last
-    # k block only); "user" for dynamic per-row k_valid_len
+    # padding — saves ~3 VPU passes over [BQ, BK] per cell); "padfree"
+    # (default) corrects for static zero-padding arithmetically with NO
+    # per-tile masking (see FLASH_PADFREE above); "pad" is the iota-masked
+    # A/B fallback; "user" for dynamic per-row k_valid_len
     if k_valid_len is not None:
         masked = "user"
     elif lk_p != lk:
-        masked = "pad"
+        masked = _pad_mode()
     else:
         masked = None
     o = _flash(qb, kb, vb, valid, block_q, block_k, masked, lk)

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from . import flash_attention as fa
 from .flash_attention import _flash_bwd, _flash_fwd_impl, _pad_len, \
     pick_blocks as _blocks
 
@@ -52,7 +53,7 @@ def _fwd_local(q, k, v, valid, masked=True):
     lq_p, lk_p = _pad_len(lq, block_q), _pad_len(lk, block_k)
     qb, kb, vb = _to_bnld(q, lq_p), _to_bnld(k, lk_p), _to_bnld(v, lk_p)
     validr = jnp.repeat(valid.astype(jnp.int32), n)
-    mode = "user" if masked else ("pad" if lk_p != lk else None)
+    mode = "user" if masked else (fa._pad_mode() if lk_p != lk else None)
     o, lse = _flash_fwd_impl(qb, kb, vb, validr, block_q, block_k, mode, lk)
     o = o[:, :lq].reshape(b, n, lq, d)
     return jnp.moveaxis(o, 1, 2), lse[:, :lq].reshape(b, n, lq, 128)
@@ -71,7 +72,7 @@ def _bwd_local(q, k, v, valid, o, lse, do, masked=True):
     if lq_p != lq:  # zero-padded do/o rows make padded-row ds vanish
         lseb = jnp.pad(lseb, ((0, 0), (0, lq_p - lq), (0, 0)))
     validr = jnp.repeat(valid.astype(jnp.int32), n)
-    mode = "user" if masked else ("pad" if lk_p != lk else None)
+    mode = "user" if masked else (fa._pad_mode() if lk_p != lk else None)
     dq, dk, dv, _ = _flash_bwd(
         block_q, block_k, mode, lk, (qb, kb, vb, validr, ob, lseb), dob
     )

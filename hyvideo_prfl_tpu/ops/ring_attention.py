@@ -66,7 +66,7 @@ def _block_attention_with_lse(q, k, v):
         valid = jnp.full((b * n,), lk, jnp.int32)
         o, lse = fa._flash_fwd_impl(
             bnld(q, lq_p), bnld(k, lk_p), bnld(v, lk_p), valid,
-            block_q, block_k, "pad" if lk_p != lk else None, lk,
+            block_q, block_k, fa._pad_mode() if lk_p != lk else None, lk,
         )
         o = jnp.moveaxis(o[:, :lq].reshape(b, n, lq, d), 1, 2)
         lse = lse[:, :lq, 0].reshape(b, n, lq).transpose(0, 2, 1)
@@ -120,7 +120,7 @@ def _block_bwd(q, k, v, o, lse, do):
         res = (bnld(q, lq_p), bnld(k, lk_p), bnld(v, lk_p), valid,
                bnld(o, lq_p), lse_p)
         dq, dk, dv, _ = fa._flash_bwd(
-            block_q, block_k, "pad" if lk_p != lk else None, lk, res,
+            block_q, block_k, fa._pad_mode() if lk_p != lk else None, lk, res,
             bnld(do, lq_p)
         )
 

@@ -18,6 +18,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def extract_into_tensor(a, t, x_shape):
+    """Gather per-sample coefficients and broadcast to x's rank
+    (distill_utils.py:7-10): a[t] reshaped to [B, 1, 1, ...]."""
+    out = jnp.take(jnp.asarray(a), t, axis=0)
+    return out.reshape(out.shape[0], *((1,) * (len(x_shape) - 1)))
+
+
+def get_phase_endpoint(index: int, num_teacher_timesteps: int = 32,
+                       multiphase: int = 8) -> int:
+    """Multiphase-distillation phase endpoint for a teacher step index
+    (distill_utils.py:12-21): floor the index to its phase boundary,
+    capped at the last phase start."""
+    interval = num_teacher_timesteps // multiphase
+    max_endpoint = num_teacher_timesteps - interval
+    if index >= max_endpoint:
+        return max_endpoint
+    return (index // interval) * interval
+
+
 @chex.dataclass(frozen=True)
 class EulerSolver:
     """Discrete Euler over a subsampled sigma grid (distill_utils.py:23-62).

@@ -109,6 +109,19 @@ def test_euler_solver_distill():
     np.testing.assert_allclose(np.asarray(y2)[0, 0], expected, rtol=1e-5)
 
 
+def test_distill_phase_helpers():
+    from hyvideo_prfl_tpu.training.distill import (
+        extract_into_tensor, get_phase_endpoint,
+    )
+    # phase endpoints floor to interval boundaries, capped at the last phase
+    assert [get_phase_endpoint(i, 32, 8) for i in (0, 3, 4, 27, 28, 31)] == \
+        [0, 0, 4, 24, 28, 28]
+    a = np.linspace(0, 1, 10, dtype=np.float32)
+    out = extract_into_tensor(a, jnp.asarray([2, 7]), (2, 3, 4))
+    assert out.shape == (2, 1, 1)
+    np.testing.assert_allclose(np.asarray(out).ravel(), a[[2, 7]])
+
+
 def test_discriminator_heads():
     d = Discriminator(num_heads=2, inner_dim=64)
     feats = [jnp.ones((1, 8, 32)), jnp.ones((1, 8, 32))]
