@@ -61,6 +61,18 @@ FLASH_EXP2 = _os.environ.get("HYV_FLASH_EXP2", "1") == "1"
 # real scores are negative, which is harmless (softmax is shift-invariant
 # and qk-normed logits are far from the fp32 underflow range).
 FLASH_PADFREE = _os.environ.get("HYV_FLASH_PADFREE", "1") == "1"
+# A/B switch: single-pass backward. The split dq/dkv kernels execute 7
+# matmuls per (q, k) cell (s and dp are computed in both) at ~90% of MXU
+# peak — matmul COUNT is the backward's cost. The merged kernel computes
+# s/p/dp/ds once and emits all three grads (5 matmuls, the algorithmic
+# minimum with lse-recompute). dk/dv accumulate in VMEM scratch over the
+# inner q sweep; dq accumulates THROUGH HBM via input_output_aliases
+# (read-modify-write of the [block_q, d] f32 block each step — the TPU
+# grid is sequential per core, so the RMW is race-free; traffic is
+# ~0.5 MB/step against ~3.4 ms of matmul per step). Guarded to n_q >= 4
+# so the write-back of block i (step t-n_q) always lands before its
+# prefetch (step t-1) under double buffering.
+FLASH_MERGED_BWD = _os.environ.get("HYV_FLASH_MERGED_BWD", "1") == "1"
 
 
 def _pad_mode() -> str:
@@ -267,6 +279,68 @@ def _dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
+def _dqkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                 *refs, block_k, scale, n_q, masked, lk, exp2, alias):
+    """Single-pass backward (FLASH_MERGED_BWD): grid (bn, n_k, n_q), k
+    outer. s/p/dp/ds computed once per cell; dk/dv accumulate in scratch
+    over the inner q sweep; dq accumulates through the aliased f32 HBM
+    buffer (dq_in_ref is the same memory as dq_ref, fetched per step).
+    alias=False (interpret mode, where the Pallas interpreter does not
+    thread writes back through input_output_aliases): dq is emitted as
+    per-k-block partials [BN, n_k, Lq, D] summed by the caller."""
+    if alias:
+        dq_in_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc = refs
+    else:
+        dq_ref, dk_ref, dv_ref, dk_acc, dv_acc = refs
+    q_idx = pl.program_id(2)
+    expf = jnp.exp2 if exp2 else jnp.exp
+    e_sc = LOG2E if exp2 else 1.0
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    qf = q_ref[0].astype(jnp.float32)
+    q = (qf * (scale * e_sc)).astype(q_ref.dtype)  # [BQ, D]
+    q_s = (qf * scale).astype(q_ref.dtype)
+    k = k_ref[0]  # [BK, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    k_idx = pl.program_id(1)
+    s = _apply_mask(s, masked, len_ref, lk, block_k, k_idx,
+                    pl.num_programs(1))
+    p = expf(s - lse_ref[0][:, :1] * e_sc)  # [BQ, BK]
+    dv_acc[:] += jax.lax.dot_general(
+        p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0][:, :1])  # [BQ, BK]
+    dk_acc[:] += jax.lax.dot_general(
+        ds.astype(q_s.dtype), q_s, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    k_s = (k.astype(jnp.float32) * scale).astype(k.dtype)
+    dq_contrib = jax.lax.dot_general(
+        ds.astype(k.dtype), k_s, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if alias:
+        dq_ref[0] = dq_in_ref[0] + dq_contrib
+    else:
+        dq_ref[0, 0] = dq_contrib
+
+    @pl.when(q_idx == n_q - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
 def _pad_len(l, b):
     return (l + b - 1) // b * b
 
@@ -439,6 +513,9 @@ def _flash_bwd(block_q, block_k, masked, lk_true, res, do):
     lse = jnp.broadcast_to(lse, (*lse.shape[:2], 128))
     bn, lq, d = q.shape
     lk = k.shape[1]
+    if FLASH_MERGED_BWD and lq // _bwd_blocks_merged(lq, lk)[0] >= 4:
+        return _flash_bwd_merged(block_q, block_k, masked, lk_true,
+                                 (q, k, v, valid, o, lse), do)
     block_q, block_k = _bwd_blocks(lq, lk, block_q, block_k)
     n_q = lq // block_q
     n_k = lk // block_k
@@ -503,6 +580,96 @@ def _flash_bwd(block_q, block_k, masked, lk_true, res, do):
         interpret=_interpret(),
     )(valid, q, k, v, do, lse, delta)
     return dq, dk, dv, None
+
+
+def _bwd_blocks_merged(lq_p: int, lk_p: int):
+    """Merged-backward block sizes. The kernel holds four [BQ, BK] fp32
+    temporaries (s, p, dp, ds) on the Mosaic stack plus the dk/dv
+    accumulators, so BK caps lower than the split kernels': 512x1024 is
+    ~8 MB of temporaries + ~3 MB of blocks/accumulators. Cap 1280
+    measured best on v5e (169.8 ms vs 174.5 at cap-1024's bk 768 for the
+    40h x 18,900 shape; at 75,776 keys both resolve to bk 1024 — 170.2
+    TF/s, scripts/profile_flash_merged.py); 1536 would put the four
+    temporaries at 12.6 MB, over the scoped-VMEM comfort line."""
+    import os
+    cap_k = int(os.environ.get("HYV_FLASH_MERGED_BK", "1280"))
+    bq = _divisor_block(lq_p, 512)
+    bk = _divisor_block(lk_p, cap_k)
+    return bq, bk
+
+
+def _flash_bwd_merged(block_q, block_k, masked, lk_true, res, do):
+    """Single-pass backward: 5 matmuls per (q, k) cell instead of the
+    split kernels' 7 (see FLASH_MERGED_BWD)."""
+    q, k, v, valid, o, lse = res
+    bn, lq, d = q.shape
+    lk = k.shape[1]
+    block_q, block_k = _bwd_blocks_merged(lq, lk)
+    n_q = lq // block_q
+    n_k = lk // block_k
+    scale = 1.0 / (d ** 0.5)
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)  # [BN, Lq, 1]
+    delta = jnp.broadcast_to(delta, (bn, lq, 128))
+
+    # the Pallas interpreter does not thread writes through
+    # input_output_aliases; emit dq per-k-block partials there instead
+    alias = not _interpret()
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, j, i, s_: (b, i, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, j, i, s_: (b, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, j, i, s_: (b, j, 0)),
+        pl.BlockSpec((1, block_q, d), lambda b, j, i, s_: (b, i, 0)),
+        pl.BlockSpec((1, block_q, 128), lambda b, j, i, s_: (b, i, 0)),
+        pl.BlockSpec((1, block_q, 128), lambda b, j, i, s_: (b, i, 0)),
+    ]
+    operands = [valid, q, k, v, do, lse, delta]
+    if alias:
+        dq_spec = pl.BlockSpec((1, block_q, d), lambda b, j, i, s_: (b, i, 0))
+        dq_shape = jax.ShapeDtypeStruct((bn, lq, d), jnp.float32)
+        in_specs.append(dq_spec)
+        operands.append(jnp.zeros((bn, lq, d), jnp.float32))
+        # operand 7 (dq0; scalar-prefetch valid counts as operand 0)
+        # aliases output 0 — the in-kernel read-modify-write accumulator
+        aliases = {7: 0}
+    else:
+        dq_spec = pl.BlockSpec((1, 1, block_q, d),
+                               lambda b, j, i, s_: (b, j, i, 0))
+        dq_shape = jax.ShapeDtypeStruct((bn, n_k, lq, d), jnp.float32)
+        aliases = {}
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_dqkv_kernel, block_k=block_k, scale=scale,
+                          n_q=n_q, masked=masked, lk=lk_true,
+                          exp2=FLASH_EXP2, alias=alias),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bn, n_k, n_q),
+            in_specs=in_specs,
+            out_specs=[
+                dq_spec,
+                pl.BlockSpec((1, block_k, d), lambda b, j, i, s_: (b, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, j, i, s_: (b, j, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, d), jnp.float32),
+                pltpu.VMEM((block_k, d), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            dq_shape,
+            jax.ShapeDtypeStruct((bn, lk, d), k.dtype),
+            jax.ShapeDtypeStruct((bn, lk, d), v.dtype),
+        ],
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        interpret=_interpret(),
+    )(*operands)
+    if not alias:
+        dq = dq.sum(axis=1)
+    return dq.astype(q.dtype), dk, dv, None
 
 
 # optimize_remat: under jax.checkpoint policies that save this op's output

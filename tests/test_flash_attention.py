@@ -154,3 +154,42 @@ def test_cross_routing_thresholds():
             "hyvideo_prfl_tpu.ops.flash_attention._interpret",
             return_value=True):
         assert att._resolve_auto(128, 18900, 18900) == "xla"    # not on TPU
+
+
+def test_merged_backward_matches_split():
+    """FLASH_MERGED_BWD single-pass kernel == split dq/dkv kernels across
+    mask modes (scripts/profile_flash_merged.py measured it bit-exact on
+    hardware; CPU interpret allows block-geometry reduction-order noise)."""
+    for lq, lk, kvl in ((2048, 2048, None), (3120, 3120, None),
+                        (2100, 2100, jnp.asarray([2000, 1800], jnp.int32)),
+                        (4096, 512, None)):
+        q, k, v = _rand_qkv(11, b=2, l=lq, lk=lk)
+
+        def grads(merged):
+            old = fa.FLASH_MERGED_BWD
+            fa.FLASH_MERGED_BWD = merged
+            try:
+                f = lambda q, k, v: jnp.sum(
+                    fa.flash_attention(q, k, v, k_valid_len=kvl) ** 2)
+                return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+            finally:
+                fa.FLASH_MERGED_BWD = old
+
+        for a, b, name in zip(grads(True), grads(False), "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4,
+                err_msg=f"d{name} mismatch at lq={lq} lk={lk}",
+            )
+
+
+def test_merged_backward_dispatch():
+    """The merged path engages only with >= 4 q blocks (HBM accumulation
+    needs the write-back of block i to land before its re-fetch under
+    double buffering) and its block_k cap stays a padded-length divisor."""
+    from hyvideo_prfl_tpu.ops.flash_attention import _bwd_blocks_merged
+
+    for lq_p, lk_p, want_bk in ((19200, 19200, 1280), (75776, 75776, 1024),
+                                (3200, 3200, 640)):
+        bq, bk = _bwd_blocks_merged(lq_p, lk_p)
+        assert lq_p % bq == 0 and lk_p % bk == 0
+        assert bk == want_bk, (lk_p, bk)
