@@ -26,7 +26,12 @@ BENCH_LAYERS = 24
 BENCH_FFN = 4480
 BENCH_HEADS = 10
 GRID = (8, 30, 52)
-ROLLOUT_STEPS = 8  # reference uses 40; FLOPs scale linearly in rollout length
+# The reference's headline workload runs a 40-step UniPC rollout
+# (inference_steps=40, BASELINE.md); rounds 1-2 benched a truncated
+# 8-step rollout (rollout_steps=8 in BENCH_r0{1,2}.json), which
+# over-weights the optimizer/overhead share relative to the reference's
+# actual workload mix. Worst-case mid on both sides, as before.
+ROLLOUT_STEPS = 40
 
 
 def _flops_scale():
@@ -159,7 +164,7 @@ def main():
     except Exception:
         pass
     print(json.dumps({
-        "metric": "prfl_step_seconds_0.6b_3120tok_1chip",
+        "metric": "prfl_step_seconds_0.6b_3120tok_40step_1chip",
         "value": round(sec, 3),
         "unit": "s/step",
         "vs_baseline": round(vs, 3),
