@@ -73,6 +73,46 @@ FLASH_PADFREE = _os.environ.get("HYV_FLASH_PADFREE", "1") == "1"
 # so the write-back of block i (step t-n_q) always lands before its
 # prefetch (step t-1) under double buffering.
 FLASH_MERGED_BWD = _os.environ.get("HYV_FLASH_MERGED_BWD", "1") == "1"
+# A/B switch: fixed-max ("bounded") forward softmax. Every flash caller in
+# this framework is qk-RMSNormed (wan_dit self-attention via the fused
+# qknorm_rope kernel; cross-attention via norm_q/norm_k — the reference
+# applies the same norms, wan/modules/model.py WanSelfAttention/
+# WanCrossAttention), which BOUNDS the logits: after RMSNorm,
+# ||q||2 <= max|gamma_q| * sqrt(d), RoPE preserves norms, so
+# |s| = |q.k|/sqrt(d) <= max|gamma_q| max|gamma_k| sqrt(d) ~= 11.3 for
+# d=128 and O(1) gammas. fp32 exp is safe without the running-max shift
+# up to |s| ~ 76 (exp(76) * 75,600 keys < fp32 max), i.e. gamma products
+# up to ~6.7 — far beyond any trained RMSNorm gain. With the shift
+# provably unnecessary, the forward drops the online-softmax max/shift/
+# rescale chain: per-tile VPU passes over [BQ, BK] fall from ~5
+# (max-reduce, subtract, exp, sum-reduce, cast) to ~3 (exp, sum, cast) —
+# and the forward is VPU-BOUND at long sequence (at 10h x 75.6k the MXU
+# floor is ~149 ms while ~5 VPU passes cost ~143 ms; measured fwd was
+# 188 ms vs the merged backward's 90%-of-MXU efficiency). The lse output
+# is bit-compatible in meaning (log sum exp(s), natural units) so ring
+# merges and the backward are unchanged. Applied only when there is no
+# per-row dynamic mask (masked in (None, "padfree")); the "user" k_valid
+# path keeps the shifted softmax. validate_released.py asserts the gamma
+# bound on real checkpoints at load time.
+FLASH_BOUNDED = _os.environ.get("HYV_FLASH_BOUNDED", "1") == "1"
+
+
+def attn_logit_bound(params, head_dim: int = 128) -> float:
+    """Conservative upper bound on the DiT's attention logits from its
+    qk-RMSNorm gains: |s| <= max|gamma_q| * max|gamma_k| * sqrt(head_dim)
+    (||RMSNorm(x) * gamma||_2 <= max|gamma| sqrt(d); RoPE preserves norms).
+    Walks the param tree for norm_q / norm_k / norm_k_img leaves. The
+    fixed-max forward (FLASH_BOUNDED) is exact while this stays below ~70;
+    scripts/validate_released.py asserts it on real checkpoints."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    gq = gk = 0.0
+    for path, leaf in flat:
+        name = str(path[-1]) if path else ""
+        if "norm_q" in name:
+            gq = max(gq, float(jnp.max(jnp.abs(leaf))))
+        elif "norm_k" in name:  # norm_k and norm_k_img
+            gk = max(gk, float(jnp.max(jnp.abs(leaf))))
+    return gq * gk * head_dim ** 0.5
 
 
 def _pad_mode() -> str:
@@ -167,10 +207,52 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             lse_ref[0] = m_ref[:] + jnp.log(jnp.maximum(lb, 1e-30))
 
 
+def _fwd_kernel_bounded(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                        acc_ref, l_ref, *, block_k, scale, n_k, lk,
+                        exp2, n_pad=0):
+    """Fixed-max streaming forward (FLASH_BOUNDED): no running max, no
+    shift, no rescale chain — p = exp(s) accumulated directly. Exact for
+    bounded logits (see FLASH_BOUNDED); zero-padded key columns contribute
+    exp(0) = 1 each to l, removed as a constant at finish."""
+    k_idx = pl.program_id(2)
+    expf = jnp.exp2 if exp2 else jnp.exp
+    e_sc = LOG2E if exp2 else 1.0
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = (q_ref[0].astype(jnp.float32) * (scale * e_sc)).astype(q_ref.dtype)
+    s = jax.lax.dot_general(
+        q, k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, BK]
+    p = expf(s)
+    l_new = l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] += jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(k_idx == n_k - 1)
+    def _finish():
+        l = l_ref[:, :1] - n_pad
+        l_safe = jnp.where(l <= 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        lb = jnp.broadcast_to(jnp.maximum(l, 1e-30), l_ref.shape)
+        # natural-units lse at the kernel boundary (same VALUE as the
+        # shifted path's m + log(sum exp(s - m)))
+        lse_ref[0] = (jnp.log2(lb) * LN2) if exp2 else jnp.log(lb)
+
+
 def _fwd_kernel_single(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                       *, block_k, scale, masked, lk, exp2, n_pad=0):
+                       *, block_k, scale, masked, lk, exp2, n_pad=0,
+                       bounded=False):
     """Single-k-block forward (the full-K fast path): plain softmax, no
-    online-update scratch or rescale chain."""
+    online-update scratch or rescale chain. bounded=True additionally
+    drops the max-shift (see FLASH_BOUNDED)."""
     expf = jnp.exp2 if exp2 else jnp.exp
     e_sc = LOG2E if exp2 else 1.0
     q = (q_ref[0].astype(jnp.float32) * (scale * e_sc)).astype(q_ref.dtype)
@@ -179,21 +261,29 @@ def _fwd_kernel_single(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [BQ, BK]
     s = _apply_mask(s, masked, len_ref, lk, block_k, 0, 1)
-    m = jnp.max(s, axis=1, keepdims=True)  # [BQ, 1]
-    p = expf(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    if n_pad:  # padfree: remove the zero-padded columns' exp(-m) mass
-        l = l - n_pad * expf(-m)
+    if bounded:
+        m = None
+        p = expf(s)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        if n_pad:  # padfree: pad columns contribute exp(0) = 1 each
+            l = l - n_pad
+    else:
+        m = jnp.max(s, axis=1, keepdims=True)  # [BQ, 1]
+        p = expf(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        if n_pad:  # padfree: remove the zero-padded columns' exp(-m) mass
+            l = l - n_pad * expf(-m)
     l_safe = jnp.where(l <= 0.0, 1.0, l)
     acc = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lm = jnp.maximum(l, 1e-30)
     if exp2:
-        lse = (m + jnp.log2(jnp.maximum(l, 1e-30))) * LN2
+        lse = jnp.log2(lm) * LN2 if bounded else (m + jnp.log2(lm)) * LN2
     else:
-        lse = m + jnp.log(jnp.maximum(l, 1e-30))
+        lse = jnp.log(lm) if bounded else m + jnp.log(lm)
     lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
@@ -422,11 +512,28 @@ def _flash_fwd_impl(q, k, v, valid, block_q, block_k, masked, lk_true):
     if n_k == 1:
         return _flash_fwd_single(q, k, v, valid, block_q, block_k, scale,
                                  masked, lk_true)
-    kernel = functools.partial(
-        _fwd_kernel, block_k=block_k, scale=scale, n_k=n_k, masked=masked,
-        lk=lk_true, exp2=FLASH_EXP2,
-        n_pad=(lk - lk_true) if masked == "padfree" else 0,
-    )
+    bounded = FLASH_BOUNDED and masked in (None, "padfree")
+    if bounded:
+        kernel = functools.partial(
+            _fwd_kernel_bounded, block_k=block_k, scale=scale, n_k=n_k,
+            lk=lk_true, exp2=FLASH_EXP2,
+            n_pad=(lk - lk_true) if masked == "padfree" else 0,
+        )
+        scratch = [
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(
+            _fwd_kernel, block_k=block_k, scale=scale, n_k=n_k, masked=masked,
+            lk=lk_true, exp2=FLASH_EXP2,
+            n_pad=(lk - lk_true) if masked == "padfree" else 0,
+        )
+        scratch = [
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ]
     grid = (bn, n_q, n_k)
     o, lse = pl.pallas_call(
         kernel,
@@ -442,11 +549,7 @@ def _flash_fwd_impl(q, k, v, valid, block_q, block_k, masked, lk_true):
                 pl.BlockSpec((1, block_q, d), lambda b, i, j, s_: (b, i, 0)),
                 pl.BlockSpec((1, block_q, 128), lambda b, i, j, s_: (b, i, 0)),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((block_q, d), jnp.float32),
-                pltpu.VMEM((block_q, 128), jnp.float32),
-                pltpu.VMEM((block_q, 128), jnp.float32),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((bn, lq, d), q.dtype),
@@ -467,6 +570,7 @@ def _flash_fwd_single(q, k, v, valid, block_q, block_k, scale, masked,
         _fwd_kernel_single, block_k=block_k, scale=scale, masked=masked,
         lk=lk_true, exp2=FLASH_EXP2,
         n_pad=(k.shape[1] - lk_true) if masked == "padfree" else 0,
+        bounded=FLASH_BOUNDED and masked in (None, "padfree"),
     )
     o, lse = pl.pallas_call(
         kernel,

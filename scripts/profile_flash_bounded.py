@@ -1,0 +1,136 @@
+"""A/B the fixed-max ("bounded") flash forward (FLASH_BOUNDED) on the real
+chip at the two hot 14B shapes:
+
+* 10 heads x 75,600 tokens (the true Ulysses per-device attention shape)
+* 40 heads x 18,900 tokens (the local block length under sp=4)
+
+The forward is VPU-bound at long sequence (MXU floor ~149 ms at 10h x
+75.6k vs ~143 ms of VPU softmax passes); dropping the online-softmax
+max/shift/rescale chain — safe because every caller qk-RMSNorms, bounding
+the logits — removes ~2 of the ~5 big per-tile VPU passes. See
+ops/flash_attention.py FLASH_BOUNDED. Backward is shared (lse-recompute),
+so fwd+bwd should move by the forward delta only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from hyvideo_prfl_tpu.ops import flash_attention as fa
+from hyvideo_prfl_tpu.models import wan_dit
+
+K = 2
+
+
+def timeit(tag, fn, *args, n=3):
+    t0 = time.perf_counter()
+    float(fn(*args))
+    compile_s = time.perf_counter() - t0
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    best = min(ts)
+    print(json.dumps({"tag": tag, "s": round(best, 4),
+                      "compile_s": round(compile_s, 1)}), flush=True)
+    return best
+
+
+def main():
+    trivial = jax.jit(lambda a: jnp.sum(a) + 1.0)
+    rt = timeit("roundtrip", trivial, jnp.zeros((8, 128)))
+
+    results = {}
+    for heads, L in ((10, 75600), (40, 18900)):
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, L, heads, 128),
+                              jnp.bfloat16) * 0.1
+        fl = 4.0 * L * L * heads * 128
+        for bounded in (False, True):
+            fa.FLASH_BOUNDED = bounded
+            tag = f"h{heads}_L{L}_{'bounded' if bounded else 'shifted'}"
+
+            @jax.jit
+            def fwdK(q):
+                def body(q, _):
+                    o = fa.flash_attention(q, q, q)
+                    return o.astype(q.dtype), None
+                q, _ = jax.lax.scan(body, q, None, length=K)
+                return jnp.sum(q.astype(jnp.float32))
+
+            t_f = (timeit(f"{tag}_fwd", fwdK, q) - rt) / K
+            ent = {"fwd_ms": round(t_f * 1e3, 1),
+                   "fwd_tflops": round(fl / t_f / 1e12, 1)}
+
+            @jax.jit
+            def gradK(q):
+                def loss(q):
+                    def body(q, _):
+                        f = lambda q: fa.flash_attention(q, q, q).astype(
+                            q.dtype)
+                        return jax.checkpoint(
+                            f, policy=wan_dit._attn_saveable_policy)(q), None
+                    y, _ = jax.lax.scan(body, q, None, length=K)
+                    return jnp.sum(y.astype(jnp.float32))
+                return jax.grad(loss)(q).ravel()[0]
+
+            t_g = (timeit(f"{tag}_fwdbwd", gradK, q) - rt) / K
+            ent["fwdbwd_ms"] = round(t_g * 1e3, 1)
+            ent["fwdbwd_tflops"] = round(3.5 * fl / t_g / 1e12, 1)
+            results[tag] = ent
+
+        # numerics: bounded vs shifted on-chip at this shape (small slice)
+        fa.FLASH_BOUNDED = True
+        o_new = fa.flash_attention(q[:, :4096], q, q)
+        fa.FLASH_BOUNDED = False
+        o_old = fa.flash_attention(q[:, :4096], q, q)
+        results[f"h{heads}_L{L}_maxdiff"] = float(
+            jnp.max(jnp.abs(o_new.astype(jnp.float32) -
+                            o_old.astype(jnp.float32))))
+
+    print(json.dumps(results), flush=True)
+
+
+def sweep():
+    """Forward block-size sweep for the bounded kernel at 10h x 75.6k
+    (the fixed-max kernel drops the m scratch and the rescale temporaries,
+    so bigger k blocks may fit VMEM now)."""
+    trivial = jax.jit(lambda a: jnp.sum(a) + 1.0)
+    rt = timeit("roundtrip", trivial, jnp.zeros((8, 128)))
+    heads, L = 10, 75600
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, L, heads, 128),
+                          jnp.bfloat16) * 0.1
+    fl = 4.0 * L * L * heads * 128
+    fa.FLASH_BOUNDED = True
+    results = {}
+    for bq, bk in ((512, 2048), (512, 2560), (512, 3072), (640, 2048),
+                   (384, 2048), (512, 1920)):
+        @jax.jit
+        def fwdK(q):
+            def body(q, _):
+                o = fa.flash_attention(q, q, q, block_q=bq, block_k=bk)
+                return o.astype(q.dtype), None
+            q, _ = jax.lax.scan(body, q, None, length=K)
+            return jnp.sum(q.astype(jnp.float32))
+
+        try:
+            t_f = (timeit(f"bq{bq}_bk{bk}_fwd", fwdK, q) - rt) / K
+            results[f"bq{bq}_bk{bk}"] = {
+                "fwd_ms": round(t_f * 1e3, 1),
+                "fwd_tflops": round(fl / t_f / 1e12, 1)}
+        except Exception as e:  # VMEM overflow etc — record and move on
+            results[f"bq{bq}_bk{bk}"] = f"failed: {type(e).__name__}"
+            print(f"bq{bq}_bk{bk} failed: {e}", flush=True)
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    sweep() if os.environ.get("HYV_SWEEP") == "1" else main()

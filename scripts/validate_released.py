@@ -90,10 +90,26 @@ def stage_convert(args, out_dir, report):
         print(f"convert[{kind}]: {len(state)} keys, "
               f"roundtrip max|diff|={d:.3g} -> {out}")
         assert d < 1e-5, f"{kind} roundtrip diverged: {d}"
+        return params
 
     dit_cfg = args._dit_cfg
-    do("dit", args.dit_dir, ck.torch_state_to_flax, ck.flax_to_torch_state,
-       (dit_cfg,))
+    dit_params = do("dit", args.dit_dir, ck.torch_state_to_flax,
+                    ck.flax_to_torch_state, (dit_cfg,))
+    if dit_params is not None:
+        # fixed-max flash forward contract (ops/flash_attention.py
+        # FLASH_BOUNDED): qk-RMSNorm gains must keep logits below the
+        # fp32-safe bound. Any sane checkpoint is orders of magnitude
+        # under it; if this ever fires, run with HYV_FLASH_BOUNDED=0.
+        from hyvideo_prfl_tpu.ops.flash_attention import attn_logit_bound
+
+        bound = attn_logit_bound(dit_params, dit_cfg.head_dim)
+        report["attn_logit_bound"] = round(bound, 2)
+        print(f"attn logit bound (fixed-max flash contract): {bound:.1f} "
+              f"(safe < 70)")
+        assert bound < 70.0, (
+            f"qk-norm gains give logit bound {bound:.1f} >= 70; "
+            "set HYV_FLASH_BOUNDED=0 for this checkpoint")
+        del dit_params
     do("vae", args.vae_pth, ce.vae_torch_to_flax, ce.vae_flax_to_torch,
        (args._vae_cfg,))
     do("t5", args.t5_pth, ce.t5_torch_to_flax, ce.t5_flax_to_torch,

@@ -193,3 +193,61 @@ def test_merged_backward_dispatch():
         bq, bk = _bwd_blocks_merged(lq_p, lk_p)
         assert lq_p % bq == 0 and lk_p % bk == 0
         assert bk == want_bk, (lk_p, bk)
+
+
+def test_bounded_forward_matches_shifted():
+    """FLASH_BOUNDED fixed-max forward == shifted online-softmax across
+    the streaming (multi-k-block), streaming+padfree, and single-block
+    paths — outputs, natural-units lse, and gradients (the backward is
+    shared; grads differ only through lse rounding)."""
+    for lq in (4096, 4000, 512):
+        q, k, v = _rand_qkv(13, n=1, l=lq)
+
+        def run(bounded):
+            old = fa.FLASH_BOUNDED
+            fa.FLASH_BOUNDED = bounded
+            try:
+                out = fa.flash_attention(q, k, v)
+                g = jax.grad(
+                    lambda q: jnp.sum(fa.flash_attention(q, k, v) ** 2))(q)
+                # lse at the kernel boundary (ring merges consume it)
+                blocks = fa.pick_blocks(lq, lq)
+                lp = fa._pad_len(lq, blocks[0])
+                qb = jnp.moveaxis(q, 2, 1).reshape(1, lq, 128)
+                qb = jnp.pad(qb, ((0, 0), (0, lp - lq), (0, 0)))
+                kp = fa._pad_len(lq, blocks[1])
+                kb = jnp.pad(jnp.moveaxis(k, 2, 1).reshape(1, lq, 128),
+                             ((0, 0), (0, kp - lq), (0, 0)))
+                vb = jnp.pad(jnp.moveaxis(v, 2, 1).reshape(1, lq, 128),
+                             ((0, 0), (0, kp - lq), (0, 0)))
+                _, lse = fa._flash_fwd_impl(
+                    qb, kb, vb, jnp.full((1,), lq, jnp.int32), *blocks,
+                    "padfree" if kp != lq else None, lq)
+            finally:
+                fa.FLASH_BOUNDED = old
+            return out, g, lse[:, :lq, 0]
+
+        ob, gb, lse_b = run(True)
+        os_, gs, lse_s = run(False)
+        np.testing.assert_allclose(np.asarray(ob), np.asarray(os_),
+                                   atol=2e-5, rtol=2e-5,
+                                   err_msg=f"out mismatch at lq={lq}")
+        np.testing.assert_allclose(np.asarray(lse_b), np.asarray(lse_s),
+                                   atol=2e-5, rtol=2e-5,
+                                   err_msg=f"lse mismatch at lq={lq}")
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gs),
+                                   atol=5e-4, rtol=5e-4,
+                                   err_msg=f"grad mismatch at lq={lq}")
+
+
+def test_attn_logit_bound():
+    """attn_logit_bound = max|gamma_q| * max|gamma_k| * sqrt(d) over all
+    norm_q/norm_k/norm_k_img leaves (the FLASH_BOUNDED safety contract)."""
+    params = {"params": {"blocks": {
+        "self_attn": {"norm_q": jnp.full((64,), 2.0),
+                      "norm_k": jnp.full((64,), 0.5)},
+        "cross_attn": {"norm_q": jnp.ones((64,)),
+                       "norm_k_img": jnp.full((64,), -3.0)},
+    }}}
+    b = fa.attn_logit_bound(params, head_dim=64)
+    assert abs(b - 2.0 * 3.0 * 8.0) < 1e-6
