@@ -85,6 +85,16 @@ def main(config, max_steps=None):
         logging.info("no base checkpoint; random init (smoke mode)")
         trainable, frozen = model.init_all(rng)
 
+    # resume: the reference restarts the PAVRM trainable state from
+    # checkpoint-<n> and continues at the parsed step
+    # (/root/reference/scripts/pavrm/train_pavrm.py:254-259)
+    resume = config.model.get("resume_transformer_path")
+    start_step = 0
+    if resume and os.path.isdir(resume):
+        logging.info("resuming PAVRM trainable state from %s", resume)
+        trainable = ck.load_orbax(resume)
+        start_step = ck.parse_resume_step(resume)
+
     tx = common.make_optimizer(
         learning_rate=config.optimizer.learning_rate,
         learning_rate_mlp=config.optimizer.learning_rate_mlp,
@@ -99,6 +109,16 @@ def main(config, max_steps=None):
     state, opt_transfer, state_shardings = make_sharded_state(
         mesh, trainable, tx,
         offload_opt=bool(config.train.get("offload_opt_state")))
+    if resume and os.path.isdir(resume + "-opt"):
+        # exact resume (beyond the reference, which restarts AdamW moments
+        # from zero): restore the optimizer state written by
+        # train.save_optimizer_state onto the live shardings
+        restored = ck.load_orbax(resume + "-opt", like=state.opt_state)
+        if state_shardings is not None:
+            restored = jax.device_put(restored, state_shardings.opt_state)
+        state = state.replace(opt_state=restored,
+                              step=jnp.asarray(start_step, jnp.int32))
+        logging.info("restored optimizer state from %s-opt", resume)
 
     ds_type = "lrm_ce" if pc.loss == "ce" else "lrm_bt_online"
     dataset = LatentCacheDataset(
@@ -113,7 +133,8 @@ def main(config, max_steps=None):
         is_flf2v="flf2v" in config.task,
         seed=config.train.seed,
     )
-    loader = make_train_loader(config, dataset, mesh)
+    loader = make_train_loader(config, dataset, mesh,
+                               start_index=start_step % max(len(dataset), 1))
 
     step_fn = make_train_step(model, tx, fm.train_schedule(
         config.extra_model.scheduler.num_train_timesteps),
@@ -147,7 +168,7 @@ def main(config, max_steps=None):
         jitted_eval = jax.jit(eval_fn, static_argnums=(4,))
         timer = StepTimer()
         n_steps = max_steps or config.optimizer.max_train_steps
-        for step in range(n_steps):
+        for step in range(start_step, n_steps):
             batch = next(loader)
             batch = {k: jnp.asarray(v) for k, v in batch.items()
                      if not isinstance(v, list)}
@@ -164,6 +185,11 @@ def main(config, max_steps=None):
             if (step + 1) % config.train.save_interval == 0:
                 path = os.path.join(out_dir, f"checkpoint-{step + 1}")
                 ck.save_orbax(path, jax.device_get(state.params))
+                if config.train.get("save_optimizer_state"):
+                    # AdamW moments for exact resume (sharded arrays are
+                    # written per-host by orbax; with offload_opt_state
+                    # they stream from pinned host memory)
+                    ck.save_orbax(path + "-opt", state.opt_state)
                 logging.info("saved %s", path)
                 if val_dataset is not None:
                     run_eval(state, jitted_eval)

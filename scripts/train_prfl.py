@@ -135,6 +135,16 @@ def main(config, max_steps=None):
         state, opt_transfer, state_shardings = make_sharded_state(
             mesh, params, tx,
             offload_opt=bool(config.train.get("offload_opt_state")))
+    opt_resume = (os.path.join(resume, "opt_state")
+                  if resume and not use_lora else None)
+    if opt_resume and os.path.isdir(opt_resume):
+        # exact resume: restore the AdamW moments written by
+        # train.save_optimizer_state onto the live shardings
+        restored = ck.load_orbax(opt_resume, like=state.opt_state)
+        if state_shardings is not None:
+            restored = jax.device_put(restored, state_shardings.opt_state)
+        state = state.replace(opt_state=restored)
+        logging.info("restored optimizer state from %s", opt_resume)
     use_ema = config.model.ema.use_ema
     # EMA tracks whatever is being trained (LoRA tree or full params)
     ema_params = ema_mod.ema_init(state.params) if use_ema else None
@@ -259,6 +269,12 @@ def main(config, max_steps=None):
                     ck.save_wan_checkpoint(
                         jax.device_get(state.params), dit_cfg, out_dir,
                         step=step + 1)
+                if config.train.get("save_optimizer_state"):
+                    # AdamW moments for exact resume (beyond the
+                    # reference, which restarts the optimizer from zero)
+                    ck.save_orbax(
+                        os.path.join(out_dir, f"checkpoint-{step + 1}",
+                                     "opt_state"), state.opt_state)
                 if use_ema:
                     ema_full = (lora_mod.apply_lora(params,
                                                     jax.device_get(ema_params))
