@@ -151,3 +151,151 @@ def test_vae_decode_oracle_full_arch_slice():
     oracle = _oracle_decode(state, cfg, z * std + mean)
     assert ours.shape == oracle.shape
     np.testing.assert_allclose(ours, oracle, atol=2e-5, rtol=2e-5)
+
+
+class _Ctx:
+    """feat_cache/feat_idx of the reference encoder (vae.py:517-535):
+    one slot per CausalConv3d call site, idx reset per chunk, caches kept."""
+
+    def __init__(self):
+        self.cache = {}
+        self.idx = 0
+
+    def nxt(self):
+        i = self.idx
+        self.idx += 1
+        self.cache.setdefault(i, None)
+        return i
+
+
+def _enc_conv(ctx, state, key, x):
+    """Cached CausalConv3d call site (reference ResidualBlock.forward
+    pattern): keep the last CACHE_T=2 input frames across chunks; the conv
+    front-pads (kt-1) minus the cached frames."""
+    idx = ctx.nxt()
+    cache = ctx.cache[idx]
+    cache_x = x[:, :, -2:].clone()
+    if cache_x.shape[2] < 2 and cache is not None:
+        cache_x = torch.cat([cache[:, :, -1:], cache_x], dim=2)
+    w, b = _w(state, key + ".weight"), _w(state, key + ".bias")
+    kt, kh, kw = w.shape[2:]
+    pad_t = kt - 1
+    xin = x
+    if cache is not None and pad_t > 0:
+        xin = torch.cat([cache, x], dim=2)
+        pad_t -= cache.shape[2]
+    xin = torch.nn.functional.pad(
+        xin, (kw // 2, kw // 2, kh // 2, kh // 2, max(pad_t, 0), 0))
+    ctx.cache[idx] = cache_x
+    return torch.nn.functional.conv3d(xin, w, b)
+
+
+def _enc_res(ctx, state, pfx, x):
+    h = x
+    if pfx + ".shortcut.weight" in state:  # 1x1, uncached in the reference
+        h = _causal_conv3d(state, pfx + ".shortcut", x)
+    y = torch.nn.functional.silu(_rms(state, pfx + ".residual.0.gamma", x))
+    y = _enc_conv(ctx, state, pfx + ".residual.2", y)
+    y = torch.nn.functional.silu(_rms(state, pfx + ".residual.3.gamma", y))
+    y = _enc_conv(ctx, state, pfx + ".residual.6", y)
+    return h + y
+
+
+def _enc_down(ctx, state, pfx, x, temporal):
+    """downsample2d/3d (reference Resample.forward): ZeroPad2d((0,1,0,1)) +
+    per-frame conv2d stride 2; downsample3d additionally runs the strided
+    time_conv over [prev chunk's last frame, chunk] (first chunk bypasses
+    and seeds the cache)."""
+    b, c, t, h, w = x.shape
+    xf = x.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
+    xf = torch.nn.functional.pad(xf, (0, 1, 0, 1))
+    w2, b2 = _w(state, pfx + ".resample.1.weight"), \
+        _w(state, pfx + ".resample.1.bias")
+    xf = torch.nn.functional.conv2d(xf, w2, b2, stride=2)
+    x = xf.reshape(b, t, *xf.shape[1:]).permute(0, 2, 1, 3, 4)
+    if temporal:
+        idx = ctx.nxt()
+        cache = ctx.cache[idx]
+        if cache is None:
+            ctx.cache[idx] = x.clone()
+        else:
+            cache_x = x[:, :, -1:].clone()
+            tw, tb = _w(state, pfx + ".time_conv.weight"), \
+                _w(state, pfx + ".time_conv.bias")
+            x = torch.nn.functional.conv3d(
+                torch.cat([cache[:, :, -1:], x], 2), tw, tb,
+                stride=(2, 1, 1))
+            ctx.cache[idx] = cache_x
+    return x
+
+
+def _enc_chunk(ctx, state, cfg, x):
+    x = _enc_conv(ctx, state, "encoder.conv1", x)
+    seq = 0
+    for i in range(len(cfg.dim_mult)):
+        for _ in range(cfg.num_res_blocks):
+            x = _enc_res(ctx, state, f"encoder.downsamples.{seq}", x)
+            seq += 1
+        if i != len(cfg.dim_mult) - 1:
+            x = _enc_down(ctx, state, f"encoder.downsamples.{seq}", x,
+                          cfg.temporal_downsample[i])
+            seq += 1
+    x = _enc_res(ctx, state, "encoder.middle.0", x)
+    x = _attn(state, "encoder.middle.1", x)
+    x = _enc_res(ctx, state, "encoder.middle.2", x)
+    x = torch.nn.functional.silu(_rms(state, "encoder.head.0.gamma", x))
+    return _enc_conv(ctx, state, "encoder.head.2", x)
+
+
+def _oracle_encode(state, cfg, video):
+    """video: [B, T, H, W, 3] channel-last numpy -> normalized mu, same
+    layout. Chunked 1,4,4,... exactly as the reference encode
+    (vae.py:517-541)."""
+    x = torch.from_numpy(np.array(video)).double().permute(0, 4, 1, 2, 3)
+    t = x.shape[2]
+    ctx = _Ctx()
+    outs = []
+    for i in range(1 + (t - 1) // 4):
+        ctx.idx = 0
+        chunk = x[:, :, :1] if i == 0 else x[:, :, 1 + 4 * (i - 1):1 + 4 * i]
+        outs.append(_enc_chunk(ctx, state, cfg, chunk))
+    out = torch.cat(outs, 2)
+    mu = _causal_conv3d(state, "conv1", out).chunk(2, dim=1)[0]
+    if cfg.z_dim == 16:
+        from hyvideo_prfl_tpu.models import vae as vm
+        mean = torch.tensor(np.asarray(vm.LATENT_MEAN)).view(1, -1, 1, 1, 1)
+        std = torch.tensor(np.asarray(vm.LATENT_STD)).view(1, -1, 1, 1, 1)
+        mu = (mu - mean) / std
+    return mu.permute(0, 2, 3, 4, 1).numpy()
+
+
+def test_vae_encode_matches_torch_oracle():
+    cfg = vae_mod.tiny_vae()
+    params = vae_mod.init_vae_params(cfg, jax.random.PRNGKey(11),
+                                     t=5, h=16, w=16)
+    state = ce.vae_flax_to_torch(params, cfg)
+    video = np.asarray(jax.random.normal(
+        jax.random.PRNGKey(12), (1, 5, 16, 16, 3), jnp.float32)) * 0.5
+    ours = np.asarray(vae_mod.WanVAE(cfg).apply(
+        params, jnp.asarray(video), method=vae_mod.WanVAE.encode))
+    oracle = _oracle_encode(state, cfg, video)
+    assert ours.shape == oracle.shape
+    np.testing.assert_allclose(ours, oracle, atol=2e-5, rtol=2e-5)
+
+
+def test_vae_encode_oracle_full_arch_slice():
+    """4-stage encoder (two temporal downsamples, shortcut resblocks,
+    z_dim 16 => real latent normalization) at reduced width."""
+    cfg = vae_mod.VAEConfig(dim=8, z_dim=16, dim_mult=(1, 1, 2, 2),
+                            num_res_blocks=1,
+                            temporal_downsample=(False, True, True))
+    params = vae_mod.init_vae_params(cfg, jax.random.PRNGKey(13),
+                                     t=9, h=32, w=32)
+    state = ce.vae_flax_to_torch(params, cfg)
+    video = np.asarray(jax.random.normal(
+        jax.random.PRNGKey(14), (1, 9, 32, 32, 3), jnp.float32)) * 0.5
+    ours = np.asarray(vae_mod.WanVAE(cfg).apply(
+        params, jnp.asarray(video), method=vae_mod.WanVAE.encode))
+    oracle = _oracle_encode(state, cfg, video)
+    assert ours.shape == oracle.shape
+    np.testing.assert_allclose(ours, oracle, atol=2e-5, rtol=2e-5)
