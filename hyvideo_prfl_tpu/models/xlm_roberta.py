@@ -121,3 +121,15 @@ def mean_pool(x, ids, pad_id=1):
     """Masked mean pooling (XLMRobertaWithHead, clip.py:320-330)."""
     mask = (ids != pad_id).astype(jnp.float32)[..., None]
     return (x * mask).sum(axis=1) / jnp.maximum(mask.sum(axis=1), 1.0)
+
+
+def encode_with_head(tree, cfg: XLMRobertaConfig, ids):
+    """XLMRobertaWithHead.forward (clip.py:304-327): tower -> masked mean
+    pool -> biasless Linear/GELU/Linear projection head. `tree` is the
+    full textual tree from utils.convert_encoders.xlmr_torch_to_flax
+    ({"params": ..., "head": {"h0", "h2"}})."""
+    x = XLMRoberta(cfg).apply({"params": tree["params"]}, ids)
+    pooled = mean_pool(x, ids, cfg.pad_id)
+    h = pooled @ jnp.asarray(tree["head"]["h0"])
+    h = jax.nn.gelu(h, approximate=False)
+    return h @ jnp.asarray(tree["head"]["h2"])

@@ -407,3 +407,94 @@ def query_attention_flax_to_torch(params: Dict) -> Dict[str, np.ndarray]:
         out["text_proj.weight"] = _lin(p["text_proj"]["kernel"])
         out["text_proj.bias"] = np.asarray(p["text_proj"]["bias"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# XLM-RoBERTa text tower + projection head (wan/modules/xlm_roberta.py under
+# XLMRobertaCLIP's "textual." prefix; head = XLMRobertaWithHead,
+# clip.py:304-314) and the FULL open-clip checkpoint (visual + textual +
+# log_scale — models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth)
+# ---------------------------------------------------------------------------
+
+
+def xlmr_torch_to_flax(state, cfg, prefix: str = "textual."):
+    """-> {"params": {...}} for models.xlm_roberta.XLMRoberta (nn.scan
+    stacked blocks) plus the projection-head kernels under "head"."""
+    g = lambda k: np.asarray(state[prefix + k])
+    n = cfg.num_layers
+
+    def stack(fmt):
+        return np.stack([g(fmt.format(i)) for i in range(n)])
+
+    def stack_dense(fmt):
+        return {"kernel": np.stack([_lin(g(fmt.format(i) + ".weight"))
+                                    for i in range(n)]),
+                "bias": stack(fmt + ".bias")}
+
+    blocks = {
+        "norm1_scale": stack("blocks.{}.norm1.weight"),
+        "norm1_bias": stack("blocks.{}.norm1.bias"),
+        "norm2_scale": stack("blocks.{}.norm2.weight"),
+        "norm2_bias": stack("blocks.{}.norm2.bias"),
+    }
+    for name, tk in (("q", "blocks.{}.attn.q"), ("k", "blocks.{}.attn.k"),
+                     ("v", "blocks.{}.attn.v"), ("o", "blocks.{}.attn.o"),
+                     ("ffn_0", "blocks.{}.ffn.0"),
+                     ("ffn_2", "blocks.{}.ffn.2")):
+        blocks[name] = stack_dense(tk)
+    return {
+        "params": {
+            "token_embedding": g("token_embedding.weight"),
+            "type_embedding": g("type_embedding.weight"),
+            "pos_embedding": g("pos_embedding.weight"),
+            "norm_scale": g("norm.weight"),
+            "norm_bias": g("norm.bias"),
+            "blocks": blocks,
+        },
+        "head": {"h0": _lin(g("head.0.weight")),
+                 "h2": _lin(g("head.2.weight"))},
+    }
+
+
+def xlmr_flax_to_torch(tree, cfg, prefix: str = "textual."):
+    p = tree["params"]
+    out = {
+        prefix + "token_embedding.weight": np.asarray(p["token_embedding"]),
+        prefix + "type_embedding.weight": np.asarray(p["type_embedding"]),
+        prefix + "pos_embedding.weight": np.asarray(p["pos_embedding"]),
+        prefix + "norm.weight": np.asarray(p["norm_scale"]),
+        prefix + "norm.bias": np.asarray(p["norm_bias"]),
+        prefix + "head.0.weight": _lin(tree["head"]["h0"]),
+        prefix + "head.2.weight": _lin(tree["head"]["h2"]),
+    }
+    b = p["blocks"]
+    for i in range(cfg.num_layers):
+        out[prefix + f"blocks.{i}.norm1.weight"] = np.asarray(b["norm1_scale"])[i]
+        out[prefix + f"blocks.{i}.norm1.bias"] = np.asarray(b["norm1_bias"])[i]
+        out[prefix + f"blocks.{i}.norm2.weight"] = np.asarray(b["norm2_scale"])[i]
+        out[prefix + f"blocks.{i}.norm2.bias"] = np.asarray(b["norm2_bias"])[i]
+        for name, tk in (("q", "attn.q"), ("k", "attn.k"), ("v", "attn.v"),
+                         ("o", "attn.o"), ("ffn_0", "ffn.0"),
+                         ("ffn_2", "ffn.2")):
+            out[prefix + f"blocks.{i}.{tk}.weight"] = _lin(
+                np.asarray(b[name]["kernel"])[i])
+            out[prefix + f"blocks.{i}.{tk}.bias"] = np.asarray(
+                b[name]["bias"])[i]
+    return out
+
+
+def clip_full_torch_to_flax(state, vis_cfg, txt_cfg):
+    """The whole released open-clip checkpoint: vision tower + XLM-R text
+    tower + head + logit scale (XLMRobertaCLIP, clip.py:329-405)."""
+    return {
+        "visual": clip_torch_to_flax(state, vis_cfg),
+        "textual": xlmr_torch_to_flax(state, txt_cfg),
+        "log_scale": np.asarray(state["log_scale"]),
+    }
+
+
+def clip_full_flax_to_torch(tree, vis_cfg, txt_cfg):
+    out = clip_flax_to_torch(tree["visual"], vis_cfg)
+    out.update(xlmr_flax_to_torch(tree["textual"], txt_cfg))
+    out["log_scale"] = np.asarray(tree["log_scale"])
+    return out

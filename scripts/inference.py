@@ -233,7 +233,10 @@ class _ImageConditioner:
         else:
             raise SystemExit("--image requires --vae_params")
         if args.clip_params and os.path.exists(args.clip_params):
-            self.clip_params = ck.load_orbax(args.clip_params)
+            p = ck.load_orbax(args.clip_params)
+            # accept both the visual-only tree and the full combined
+            # checkpoint tree (validate_released clip_full converters)
+            self.clip_params = p["visual"] if "visual" in p else p
         elif args.smoke_tiny:
             self.clip_params = clip_mod.init_clip_params(
                 self.clip_cfg, jax.random.PRNGKey(1))

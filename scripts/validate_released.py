@@ -72,7 +72,7 @@ def stage_convert(args, out_dir, report):
 
     converted = {}
 
-    def do(kind, src, fwd, inv, cfgs):
+    def do(kind, src, fwd, inv, cfgs, lenient=False):
         if not src or not os.path.exists(src):
             print(f"SKIP convert[{kind}]: no weights at {src!r}")
             report[f"convert_{kind}"] = "skipped"
@@ -81,6 +81,16 @@ def stage_convert(args, out_dir, report):
                  else _load_torch_state(src))
         params = fwd(state, *cfgs)
         rt = inv(jax.device_get(params), *cfgs)
+        if lenient:
+            # released combined checkpoints may carry buffers outside the
+            # converted surface (e.g. stray position_id buffers); report
+            # and exclude rather than fail the whole harness
+            extra = sorted(set(state) - set(rt))
+            if extra:
+                print(f"convert[{kind}]: ignoring {len(extra)} unconverted "
+                      f"keys (e.g. {extra[:3]})")
+                report[f"convert_{kind}_unconverted"] = extra[:20]
+                state = {k: v for k, v in state.items() if k in rt}
         d = _diff(state, rt)
         out = os.path.join(out_dir, kind)
         ck.save_orbax(out, jax.device_get(params))
@@ -114,8 +124,11 @@ def stage_convert(args, out_dir, report):
        (args._vae_cfg,))
     do("t5", args.t5_pth, ce.t5_torch_to_flax, ce.t5_flax_to_torch,
        (args._t5_cfg,))
-    do("clip", args.clip_pth, ce.clip_torch_to_flax, ce.clip_flax_to_torch,
-       (args._clip_cfg,))
+    # the released clip pth is the COMBINED open-clip checkpoint: vision
+    # tower + XLM-R text tower + head + log_scale (clip.py:329-405)
+    do("clip", args.clip_pth, ce.clip_full_torch_to_flax,
+       ce.clip_full_flax_to_torch, (args._clip_cfg, args._txt_cfg),
+       lenient=True)
     do("mlp", args.mlp_ckpt,
        lambda s: ce.reward_mlp_torch_to_flax(s),
        lambda p: ce.reward_mlp_flax_to_torch(p), ())
@@ -213,11 +226,25 @@ def fabricate_selftest_weights(args, root):
                                     args._t5_cfg).items()},
                args.t5_pth)
 
+    from hyvideo_prfl_tpu.models import xlm_roberta as xlm_mod
+
     cp = clip_mod.init_clip_params(args._clip_cfg, jax.random.PRNGKey(3))
+    tc = args._txt_cfg
+    txt = xlm_mod.XLMRoberta(tc).init(jax.random.PRNGKey(6),
+                                      jnp.ones((1, 8), jnp.int32))
+    mid = (tc.dim + 16) // 2
+    rng = np.random.RandomState(7)
+    full = {
+        "visual": jax.device_get(cp),
+        "textual": {"params": jax.device_get(txt)["params"],
+                    "head": {"h0": rng.randn(tc.dim, mid).astype(np.float32),
+                             "h2": rng.randn(mid, 16).astype(np.float32)}},
+        "log_scale": np.float32(2.6593),
+    }
     args.clip_pth = os.path.join(root, "clip.pth")
     torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in
-                ce.clip_flax_to_torch(jax.device_get(cp),
-                                      args._clip_cfg).items()},
+                ce.clip_full_flax_to_torch(full, args._clip_cfg,
+                                           tc).items()},
                args.clip_pth)
 
     d = cfg.dim
@@ -266,16 +293,20 @@ def main(argv=None):
     from hyvideo_prfl_tpu.models import vae as vae_mod
     from hyvideo_prfl_tpu.models import wan_dit
 
+    from hyvideo_prfl_tpu.models import xlm_roberta as xlm_mod
+
     if args.selftest:
         args._dit_cfg = wan_dit.tiny_test()
         args._vae_cfg = vae_mod.tiny_vae(z_dim=16)
         args._t5_cfg = t5_mod.tiny_t5()
         args._clip_cfg = clip_mod.tiny_clip()
+        args._txt_cfg = xlm_mod.tiny_xlmr()
     else:
         args._dit_cfg = dit_config_for_task(args.task)
         args._vae_cfg = vae_mod.VAEConfig()
         args._t5_cfg = t5_mod.umt5_xxl()
         args._clip_cfg = clip_mod.vit_h_14()
+        args._txt_cfg = xlm_mod.xlm_roberta_large()
 
     os.makedirs(args.out_dir, exist_ok=True)
     report = {}
