@@ -246,19 +246,21 @@ class SelfAttention(nn.Module):
                 # (inference_prfl.py:71-82 topology)
                 from ..ops.ring_attention import usp_attention
 
-                out = usp_attention(q, k, v)
+                # qk-RMSNorm tames the logits -> fixed-max flash forward
+                out = usp_attention(q, k, v, bounded_logits=cfg.qk_norm)
             else:
                 # explicit all_to_all Ulysses; pallas flash runs per device
                 from ..ops.attention import ulysses_attention
 
-                out = ulysses_attention(q, k, v)
+                out = ulysses_attention(q, k, v, bounded_logits=cfg.qk_norm)
         else:
             # GSPMD Ulysses: shard heads / gather sequence around the op
             hspec = "attn_heads_bnld" if qk_layout == "bnld" else "attn_heads"
             q = constrain(q, policy, hspec)
             k = constrain(k, policy, hspec)
             v = constrain(v, policy, "attn_heads")
-            out = dot_product_attention(q, k, v, qk_layout=qk_layout)
+            out = dot_product_attention(q, k, v, qk_layout=qk_layout,
+                                        bounded_logits=cfg.qk_norm)
             out = constrain(out, policy, "attn_heads")
         out = out.reshape(b, l, cfg.dim)
         out = constrain(out, policy, "tokens")
@@ -306,9 +308,11 @@ class CrossAttention(nn.Module):
         if policy is not None and token_parallel_applicable(
                 b, l, policy.tokens):
             attn = functools.partial(token_parallel_attention,
-                                     tokens_spec=policy.tokens)
+                                     tokens_spec=policy.tokens,
+                                     bounded_logits=cfg.qk_norm)
         else:
-            attn = dot_product_attention
+            attn = functools.partial(dot_product_attention,
+                                     bounded_logits=cfg.qk_norm)
         out = attn(q, k, v, qk_layout=qk_layout)
         if is_i2v:
             context_img = context_img.astype(cd)

@@ -112,6 +112,7 @@ def dot_product_attention(
     k_valid_len: Optional[jnp.ndarray] = None,
     backend: Optional[str] = None,
     qk_layout: str = "blnd",
+    bounded_logits: bool = False,
 ) -> jnp.ndarray:
     """Multi-head attention. v is [B, Lk, N, D] (BLND); q and k are BLND, or
     head-major [B, N, L, D] with qk_layout="bnld" (the fused qknorm_rope
@@ -142,11 +143,13 @@ def dot_product_attention(
             if bnld_in:
                 q = jnp.moveaxis(q, 1, 2)
                 k = jnp.moveaxis(k, 1, 2)
-            return flash_attention_sharded(q, k, v, k_valid_len=k_valid_len)
+            return flash_attention_sharded(q, k, v, k_valid_len=k_valid_len,
+                                           bounded_logits=bounded_logits)
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, k_valid_len=k_valid_len,
-                               qk_layout=qk_layout)
+                               qk_layout=qk_layout,
+                               bounded_logits=bounded_logits)
     return _xla_attention(q, k, v, k_valid_len, qk_layout)
 
 
@@ -157,6 +160,7 @@ def ulysses_attention(
     sp_axis: str = "sp",
     data_axis: str = "data",
     backend: Optional[str] = None,
+    bounded_logits: bool = False,
 ):
     """Explicit Ulysses sequence-parallel attention via shard_map.
 
@@ -192,7 +196,7 @@ def ulysses_attention(
             # plain kernel, never the custom_partitioning wrapper
             from .flash_attention import flash_attention
 
-            o = flash_attention(qh, kh, vh)
+            o = flash_attention(qh, kh, vh, bounded_logits=bounded_logits)
         else:
             o = _xla_attention(qh, kh, vh, None)
         # inverse: scatter seq, gather heads
@@ -207,7 +211,8 @@ def ulysses_attention(
     )(q, k, v)
 
 
-def token_parallel_attention(q, k, v, tokens_spec, qk_layout: str = "blnd"):
+def token_parallel_attention(q, k, v, tokens_spec, qk_layout: str = "blnd",
+                             bounded_logits: bool = False):
     """Sequence-parallel CROSS attention: q rows stay token-sharded, the
     short k/v context is replicated — each device runs the local kernel on
     its own q chunk against the full keys. Attention rows are independent,
@@ -239,7 +244,8 @@ def token_parallel_attention(q, k, v, tokens_spec, qk_layout: str = "blnd"):
         if be == "flash":
             from .flash_attention import flash_attention
 
-            return flash_attention(q, k, v, qk_layout=qk_layout)
+            return flash_attention(q, k, v, qk_layout=qk_layout,
+                                   bounded_logits=bounded_logits)
         return _xla_attention(q, k, v, None, qk_layout=qk_layout)
 
     return jax.shard_map(

@@ -73,46 +73,83 @@ FLASH_PADFREE = _os.environ.get("HYV_FLASH_PADFREE", "1") == "1"
 # so the write-back of block i (step t-n_q) always lands before its
 # prefetch (step t-1) under double buffering.
 FLASH_MERGED_BWD = _os.environ.get("HYV_FLASH_MERGED_BWD", "1") == "1"
-# A/B switch: fixed-max ("bounded") forward softmax. Every flash caller in
-# this framework is qk-RMSNormed (wan_dit self-attention via the fused
-# qknorm_rope kernel; cross-attention via norm_q/norm_k — the reference
-# applies the same norms, wan/modules/model.py WanSelfAttention/
-# WanCrossAttention), which BOUNDS the logits: after RMSNorm,
-# ||q||2 <= max|gamma_q| * sqrt(d), RoPE preserves norms, so
-# |s| = |q.k|/sqrt(d) <= max|gamma_q| max|gamma_k| sqrt(d) ~= 11.3 for
-# d=128 and O(1) gammas. fp32 exp is safe without the running-max shift
-# up to |s| ~ 76 (exp(76) * 75,600 keys < fp32 max), i.e. gamma products
-# up to ~6.7 — far beyond any trained RMSNorm gain. With the shift
-# provably unnecessary, the forward drops the online-softmax max/shift/
-# rescale chain: per-tile VPU passes over [BQ, BK] fall from ~5
-# (max-reduce, subtract, exp, sum-reduce, cast) to ~3 (exp, sum, cast) —
-# and the forward is VPU-BOUND at long sequence (at 10h x 75.6k the MXU
-# floor is ~149 ms while ~5 VPU passes cost ~143 ms; measured fwd was
-# 188 ms vs the merged backward's 90%-of-MXU efficiency). The lse output
-# is bit-compatible in meaning (log sum exp(s), natural units) so ring
-# merges and the backward are unchanged. Applied only when there is no
-# per-row dynamic mask (masked in (None, "padfree")); the "user" k_valid
-# path keeps the shifted softmax. validate_released.py asserts the gamma
-# bound on real checkpoints at load time.
+# Kill switch for the fixed-max ("bounded") forward softmax, requested
+# per-call via flash_attention(bounded_logits=True). The wan_dit self/cross
+# attention paths opt in: they qk-RMSNorm over the MODEL dim (fused
+# qknorm_rope kernel; the reference applies the same norms,
+# wan/modules/model.py WanSelfAttention/WanCrossAttention), which tames
+# the logits: ||q_hat||_2 <= max|gamma_q| sqrt(D_model), RoPE preserves
+# norms, and with energy SPREAD across heads the per-head logit is
+# |s| ~ max|gamma_q| max|gamma_k| sqrt(head_dim) ~= 11.3 — far inside the
+# fp32-exp safe range (|s| < ~70: exp(70) * 75,600 keys * |v| stays
+# finite). This is an EMPIRICAL property, not a worst-case proof: the
+# full-dim norm admits per-head energy concentration up to
+# gamma_q gamma_k D_model / sqrt(head_dim) (~452 for 14B dims), so a
+# pathological checkpoint could overflow. Overflow is LOUD, not silent:
+# inf/inf -> NaN outputs, caught by the compiled finite guards every
+# train step (training/prfl.py) and visible as garbage frames in
+# serving; set HYV_FLASH_BOUNDED=0 to force the shifted softmax.
+# attn_logit_bound() reports both the typical and worst-case figures for
+# a checkpoint's gains (scripts/validate_released.py prints them).
+# Why opt in at all: the forward is VPU-BOUND at long sequence (at
+# 10h x 75.6k the MXU floor is ~149 ms while ~5 VPU softmax passes cost
+# ~143 ms); dropping the online-softmax max/shift/rescale chain cuts the
+# per-tile VPU passes to ~3 (exp, sum, cast) — measured 188 -> 166 ms.
+# The lse output keeps the same natural-units value, so ring merges and
+# the lse-recompute backward are unchanged. Only engages when there is no
+# per-row dynamic mask; the "user" k_valid path keeps the shifted softmax.
 FLASH_BOUNDED = _os.environ.get("HYV_FLASH_BOUNDED", "1") == "1"
 
 
-def attn_logit_bound(params, head_dim: int = 128) -> float:
-    """Conservative upper bound on the DiT's attention logits from its
-    qk-RMSNorm gains: |s| <= max|gamma_q| * max|gamma_k| * sqrt(head_dim)
-    (||RMSNorm(x) * gamma||_2 <= max|gamma| sqrt(d); RoPE preserves norms).
-    Walks the param tree for norm_q / norm_k / norm_k_img leaves. The
-    fixed-max forward (FLASH_BOUNDED) is exact while this stays below ~70;
-    scripts/validate_released.py asserts it on real checkpoints."""
+def _encode_bounded(masked):
+    """'+b'-suffixed mode string: fixed-max forward requested by a caller
+    that guarantees tame logits (wan_dit qk-norm paths)."""
+    if masked is None:
+        return "none+b"
+    if masked == "padfree":
+        return "padfree+b"
+    return masked  # "pad"/"user" keep the shifted softmax
+
+
+def _decode_mode(masked):
+    """-> (base mode, bounded). FLASH_BOUNDED=0 vetoes at trace time."""
+    if isinstance(masked, str) and masked.endswith("+b"):
+        base = masked[:-2]
+        return (None if base == "none" else base), FLASH_BOUNDED
+    return masked, False
+
+
+def attn_logit_bound(params, head_dim: int = 128):
+    """(typical, worst_case) attention-logit bounds from a checkpoint's
+    qk-RMSNorm gains. The norm runs over the FULL model dim D
+    (||RMSNorm(x) * gamma||_2 <= max|gamma| sqrt(D); RoPE preserves
+    norms), so:
+
+    * typical (per-head energy spread ~ uniformly, the trained-network
+      regime qk-norm produces): max|gamma_q| max|gamma_k| sqrt(head_dim)
+    * worst case (ALL q and k energy concentrated in one aligned head):
+      max|gamma_q| max|gamma_k| D / sqrt(head_dim)
+
+    The fixed-max forward (FLASH_BOUNDED) is exact while the REALIZED
+    logits stay below ~70; the typical figure sits ~6x under that, the
+    worst case above it for 14B dims — see the FLASH_BOUNDED comment for
+    the failure mode (loud NaN) and the kill switch. Returns (0.0, 0.0)
+    if no norm_q/norm_k leaves are found (callers must treat that as
+    'unknown', not 'safe')."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     gq = gk = 0.0
+    dim = 0
     for path, leaf in flat:
         name = str(path[-1]) if path else ""
         if "norm_q" in name:
             gq = max(gq, float(jnp.max(jnp.abs(leaf))))
+            dim = max(dim, int(leaf.shape[-1]))  # [D] or scan-stacked [L, D]
         elif "norm_k" in name:  # norm_k and norm_k_img
             gk = max(gk, float(jnp.max(jnp.abs(leaf))))
-    return gq * gk * head_dim ** 0.5
+    if not (gq and gk and dim):
+        return 0.0, 0.0
+    return (gq * gk * head_dim ** 0.5,
+            gq * gk * dim / head_dim ** 0.5)
 
 
 def _pad_mode() -> str:
@@ -504,6 +541,7 @@ def _flash(q, k, v, valid, block_q, block_k, masked, lk_true):
 
 
 def _flash_fwd_impl(q, k, v, valid, block_q, block_k, masked, lk_true):
+    masked, bounded = _decode_mode(masked)
     bn, lq, d = q.shape
     lk = k.shape[1]
     n_q = lq // block_q
@@ -511,8 +549,7 @@ def _flash_fwd_impl(q, k, v, valid, block_q, block_k, masked, lk_true):
     scale = 1.0 / (d ** 0.5)
     if n_k == 1:
         return _flash_fwd_single(q, k, v, valid, block_q, block_k, scale,
-                                 masked, lk_true)
-    bounded = FLASH_BOUNDED and masked in (None, "padfree")
+                                 masked, lk_true, bounded)
     if bounded:
         kernel = functools.partial(
             _fwd_kernel_bounded, block_k=block_k, scale=scale, n_k=n_k,
@@ -563,14 +600,14 @@ def _flash_fwd_impl(q, k, v, valid, block_q, block_k, masked, lk_true):
 
 
 def _flash_fwd_single(q, k, v, valid, block_q, block_k, scale, masked,
-                      lk_true):
+                      lk_true, bounded=False):
     """Scratch-free forward for the full-K (single k block) case."""
     bn, lq, d = q.shape
     kernel = functools.partial(
         _fwd_kernel_single, block_k=block_k, scale=scale, masked=masked,
         lk=lk_true, exp2=FLASH_EXP2,
         n_pad=(k.shape[1] - lk_true) if masked == "padfree" else 0,
-        bounded=FLASH_BOUNDED and masked in (None, "padfree"),
+        bounded=bounded,
     )
     o, lse = pl.pallas_call(
         kernel,
@@ -609,6 +646,7 @@ def _flash_fwd(q, k, v, valid, block_q, block_k, masked, lk_true):
 
 def _flash_bwd(block_q, block_k, masked, lk_true, res, do):
     q, k, v, valid, o, lse = res
+    masked, _ = _decode_mode(masked)  # backward always lse-recomputes
     if masked == "padfree":
         # pad columns need no backward masking: ds pad columns multiply
         # zero k rows in dq (= 0), and their dk/dv contributions land only
@@ -791,10 +829,16 @@ def flash_attention(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     qk_layout: str = "blnd",
+    bounded_logits: bool = False,
 ) -> jnp.ndarray:
     """Flash attention; returns [B, Lq, N, D]. v is BLND; q/k are BLND, or
     already head-major [B, N, L, D] (qk_layout="bnld" — the qknorm_rope
-    kernel's output layout, saving the moveaxis relayout here)."""
+    kernel's output layout, saving the moveaxis relayout here).
+
+    bounded_logits: caller asserts its logits stay far inside the
+    fp32-exp range (e.g. qk-RMSNormed attention) — enables the fixed-max
+    forward softmax (see FLASH_BOUNDED). Default OFF: un-normed callers
+    get the overflow-safe shifted softmax."""
     bnld_in = qk_layout == "bnld"
     if bnld_in:
         b, n, lq, d = q.shape
@@ -840,6 +884,8 @@ def flash_attention(
         masked = _pad_mode()
     else:
         masked = None
+    if bounded_logits:
+        masked = _encode_bounded(masked)
     o = _flash(qb, kb, vb, valid, block_q, block_k, masked, lk)
     o = o[:, :lq].reshape(b, n, lq, d)
     return jnp.moveaxis(o, 1, 2)

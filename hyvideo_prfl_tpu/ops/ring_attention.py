@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 
-def _block_attention_with_lse(q, k, v):
+def _block_attention_with_lse(q, k, v, bounded=False):
     """Per-block attention returning (out fp32, lse fp32 [B, Lq, N]).
 
     Uses the Pallas flash kernel's saved logsumexp on TPU; a fused XLA
@@ -64,9 +64,12 @@ def _block_attention_with_lse(q, k, v):
             return x
 
         valid = jnp.full((b * n,), lk, jnp.int32)
+        mode = fa._pad_mode() if lk_p != lk else None
+        if bounded:
+            mode = fa._encode_bounded(mode)
         o, lse = fa._flash_fwd_impl(
             bnld(q, lq_p), bnld(k, lk_p), bnld(v, lk_p), valid,
-            block_q, block_k, fa._pad_mode() if lk_p != lk else None, lk,
+            block_q, block_k, mode, lk,
         )
         o = jnp.moveaxis(o[:, :lq].reshape(b, n, lq, d), 1, 2)
         lse = lse[:, :lq, 0].reshape(b, n, lq).transpose(0, 2, 1)
@@ -143,7 +146,7 @@ def _block_bwd(q, k, v, o, lse, do):
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-def _ring_fwd_inner(q, k, v, ring_axis: str):
+def _ring_fwd_inner(q, k, v, ring_axis: str, bounded: bool = False):
     """Per-device ring attention body (call inside shard_map): queries stay
     local, K/V blocks rotate around `ring_axis` via ppermute with an
     online-softmax merge. Returns (o [B, Lq, N, D] in q.dtype, global
@@ -151,14 +154,15 @@ def _ring_fwd_inner(q, k, v, ring_axis: str):
     n_ring = jax.lax.axis_size(ring_axis)
     perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
 
-    o0, lse0 = _block_attention_with_lse(q, k, v)
+    o0, lse0 = _block_attention_with_lse(q, k, v, bounded)
 
     def body(carry, _):
         k_blk, v_blk, o_acc, lse_acc = carry
         # rotate K/V to the next device over ICI
         k_blk = jax.lax.ppermute(k_blk, ring_axis, perm)
         v_blk = jax.lax.ppermute(v_blk, ring_axis, perm)
-        o_blk, lse_blk = _block_attention_with_lse(q, k_blk, v_blk)
+        o_blk, lse_blk = _block_attention_with_lse(q, k_blk, v_blk,
+                                                   bounded)
         # online-softmax merge of two normalized partials
         m = jnp.maximum(lse_acc, lse_blk)
         w_acc = jnp.exp(lse_acc - m)[..., None]  # [B, Lq, N, 1]
@@ -174,18 +178,18 @@ def _ring_fwd_inner(q, k, v, ring_axis: str):
     return o.astype(q.dtype), lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _ring_inner(q, k, v, ring_axis: str):
-    o, _ = _ring_fwd_inner(q, k, v, ring_axis)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _ring_inner(q, k, v, ring_axis: str, bounded: bool = False):
+    o, _ = _ring_fwd_inner(q, k, v, ring_axis, bounded)
     return o
 
 
-def _ring_inner_fwd(q, k, v, ring_axis: str):
-    o, lse = _ring_fwd_inner(q, k, v, ring_axis)
+def _ring_inner_fwd(q, k, v, ring_axis: str, bounded: bool = False):
+    o, lse = _ring_fwd_inner(q, k, v, ring_axis, bounded)
     return o, (q, k, v, o, lse)
 
 
-def _ring_inner_bwd(ring_axis, res, do):
+def _ring_inner_bwd(ring_axis, bounded, res, do):
     """Ring backward: K/V blocks re-rotate; dK/dV partials accumulate while
     riding the SAME rotation, so after the full circle each block's gradient
     arrives back at its home device. dQ accumulates locally."""
@@ -224,6 +228,7 @@ def ring_attention(
     v: jnp.ndarray,
     sp_axis: str = "sp",
     data_axis: str = "data",
+    bounded_logits: bool = False,
 ):
     """Full attention with K/V rotated around the sp ring.
 
@@ -234,7 +239,7 @@ def ring_attention(
     spec = P(data_axis, sp_axis, None, None)
 
     def inner(q, k, v):
-        return _ring_inner(q, k, v, sp_axis)
+        return _ring_inner(q, k, v, sp_axis, bool(bounded_logits))
 
     return jax.shard_map(
         inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
@@ -249,6 +254,7 @@ def usp_attention(
     ring_axis: str = "ring",
     ulysses_axis: str = "sp",
     data_axis: str = "data",
+    bounded_logits: bool = False,
 ):
     """USP = ring x Ulysses hybrid attention (xfuser's
     `initialize_model_parallel(ring_degree, ulysses_degree)` topology,
@@ -269,7 +275,7 @@ def usp_attention(
                 x, ulysses_axis, split_axis=2, concat_axis=1, tiled=True)
 
         qh, kh, vh = a2a_heads(q), a2a_heads(k), a2a_heads(v)
-        o = _ring_inner(qh, kh, vh, ring_axis)
+        o = _ring_inner(qh, kh, vh, ring_axis, bool(bounded_logits))
         return jax.lax.all_to_all(
             o, ulysses_axis, split_axis=1, concat_axis=2, tiled=True)
 

@@ -66,6 +66,15 @@ def load_orbax(path: str, like: Optional[Any] = None) -> Any:
     return ckptr.restore(path, target)
 
 
+def load_clip_visual(path: str) -> Any:
+    """Load a CLIP vision-tower param tree from orbax, accepting either
+    the visual-only tree ({"params": ...}) or the full combined-checkpoint
+    tree ({"visual": ..., "textual": ..., "log_scale": ...}) written by
+    the clip_full_* converters (utils/convert_encoders.py)."""
+    p = load_orbax(path)
+    return p["visual"] if isinstance(p, dict) and "visual" in p else p
+
+
 def parse_resume_step(path: str) -> int:
     """checkpoint-<step>[-ema] -> step (train_prfl.py:183, :333)."""
     m = re.search(r"checkpoint-(\d+)", os.path.basename(os.path.normpath(path)))

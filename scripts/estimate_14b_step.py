@@ -84,7 +84,7 @@ def flash_times(heads, length, rt, tag):
     @jax.jit
     def fwdK(q):
         def body(q, _):
-            return fa.flash_attention(q, q, q).astype(q.dtype), None
+            return fa.flash_attention(q, q, q, bounded_logits=True).astype(q.dtype), None
         q, _ = jax.lax.scan(body, q, None, length=K)
         return jnp.sum(q.astype(jnp.float32))
 
@@ -94,7 +94,7 @@ def flash_times(heads, length, rt, tag):
     def gradK(q):
         def loss(q):
             def body(q, _):
-                f = lambda q: fa.flash_attention(q, q, q).astype(q.dtype)
+                f = lambda q: fa.flash_attention(q, q, q, bounded_logits=True).astype(q.dtype)
                 return jax.checkpoint(
                     f, policy=wan_dit._attn_saveable_policy)(q), None
             y, _ = jax.lax.scan(body, q, None, length=K)

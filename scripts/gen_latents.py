@@ -87,7 +87,8 @@ def main(config):
     vae_params = ck.load_orbax(vae_path)
     clip_cfg = clip_mod.vit_h_14()
     clip_tower = clip_mod.CLIPVisionTower(clip_cfg)
-    clip_params = ck.load_orbax(config.get_path("extra_model.image_encoder.params_path"))
+    clip_params = ck.load_clip_visual(
+        config.get_path("extra_model.image_encoder.params_path"))
 
     # single-pass preprocess (reference gen_wanx_latent.py:301-309): T5
     # captions encode in the same run when weights are configured;

@@ -233,10 +233,8 @@ class _ImageConditioner:
         else:
             raise SystemExit("--image requires --vae_params")
         if args.clip_params and os.path.exists(args.clip_params):
-            p = ck.load_orbax(args.clip_params)
-            # accept both the visual-only tree and the full combined
-            # checkpoint tree (validate_released clip_full converters)
-            self.clip_params = p["visual"] if "visual" in p else p
+            # accepts visual-only and full combined-checkpoint trees
+            self.clip_params = ck.load_clip_visual(args.clip_params)
         elif args.smoke_tiny:
             self.clip_params = clip_mod.init_clip_params(
                 self.clip_cfg, jax.random.PRNGKey(1))

@@ -81,7 +81,7 @@ def main():
     @jax.jit
     def flashK(q):
         def body(q, _):
-            o = fa.flash_attention(q, q, q)
+            o = fa.flash_attention(q, q, q, bounded_logits=True)
             return o.astype(q.dtype), None
         q, _ = jax.lax.scan(body, q, None, length=K)
         return jnp.sum(q.astype(jnp.float32))

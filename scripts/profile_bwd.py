@@ -49,7 +49,7 @@ def main():
     @jax.jit
     def attngrad12(q, k, v):
         def loss(q, k, v):
-            return jnp.sum(fa.flash_attention(q, k, v).astype(jnp.float32) ** 2)
+            return jnp.sum(fa.flash_attention(q, k, v, bounded_logits=True).astype(jnp.float32) ** 2)
 
         def body(q, _):
             gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)

@@ -49,7 +49,7 @@ def run(L, do_bwd=True):
     @jax.jit
     def fwdK(q):
         def body(q, _):
-            return fa.flash_attention(q, q, q).astype(q.dtype), None
+            return fa.flash_attention(q, q, q, bounded_logits=True).astype(q.dtype), None
         q, _ = jax.lax.scan(body, q, None, length=K)
         return jnp.sum(q.astype(jnp.float32))
 
@@ -63,7 +63,7 @@ def run(L, do_bwd=True):
         def gradK(q):
             def loss(q):
                 def body(q, _):
-                    f = lambda q: fa.flash_attention(q, q, q).astype(q.dtype)
+                    f = lambda q: fa.flash_attention(q, q, q, bounded_logits=True).astype(q.dtype)
                     return jax.checkpoint(f)(q), None
                 y, _ = jax.lax.scan(body, q, None, length=K)
                 return jnp.sum(y.astype(jnp.float32))

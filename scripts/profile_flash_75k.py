@@ -55,7 +55,7 @@ def main():
             @jax.jit
             def fwdK(q, bq=bq, bk=bk):
                 def body(q, _):
-                    o = fa.flash_attention(q, q, q, block_q=bq, block_k=bk)
+                    o = fa.flash_attention(q, q, q, block_q=bq, block_k=bk, bounded_logits=True)
                     return o.astype(q.dtype), None
                 q, _ = jax.lax.scan(body, q, None, length=K)
                 return jnp.sum(q.astype(jnp.float32))
@@ -80,7 +80,7 @@ def main():
             def gradK(q):
                 def loss(q):
                     def body(q, _):
-                        f = lambda q: fa.flash_attention(q, q, q).astype(
+                        f = lambda q: fa.flash_attention(q, q, q, bounded_logits=True).astype(
                             q.dtype)
                         return jax.checkpoint(
                             f, policy=wan_dit._attn_saveable_policy)(q), None

@@ -52,7 +52,7 @@ def main():
         @jax.jit
         def fwdK(q, bk=bk):
             def body(q, _):
-                o = fa.flash_attention(q, q, q, block_k=bk)
+                o = fa.flash_attention(q, q, q, block_k=bk, bounded_logits=True)
                 return o.astype(q.dtype), None
             q, _ = jax.lax.scan(body, q, None, length=K)
             return jnp.sum(q.astype(jnp.float32))

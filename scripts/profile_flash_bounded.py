@@ -55,13 +55,12 @@ def main():
                               jnp.bfloat16) * 0.1
         fl = 4.0 * L * L * heads * 128
         for bounded in (False, True):
-            fa.FLASH_BOUNDED = bounded
             tag = f"h{heads}_L{L}_{'bounded' if bounded else 'shifted'}"
 
             @jax.jit
             def fwdK(q):
                 def body(q, _):
-                    o = fa.flash_attention(q, q, q)
+                    o = fa.flash_attention(q, q, q, bounded_logits=bounded)
                     return o.astype(q.dtype), None
                 q, _ = jax.lax.scan(body, q, None, length=K)
                 return jnp.sum(q.astype(jnp.float32))
@@ -74,8 +73,8 @@ def main():
             def gradK(q):
                 def loss(q):
                     def body(q, _):
-                        f = lambda q: fa.flash_attention(q, q, q).astype(
-                            q.dtype)
+                        f = lambda q: fa.flash_attention(
+                            q, q, q, bounded_logits=bounded).astype(q.dtype)
                         return jax.checkpoint(
                             f, policy=wan_dit._attn_saveable_policy)(q), None
                     y, _ = jax.lax.scan(body, q, None, length=K)
@@ -88,9 +87,7 @@ def main():
             results[tag] = ent
 
         # numerics: bounded vs shifted on-chip at this shape (small slice)
-        fa.FLASH_BOUNDED = True
-        o_new = fa.flash_attention(q[:, :4096], q, q)
-        fa.FLASH_BOUNDED = False
+        o_new = fa.flash_attention(q[:, :4096], q, q, bounded_logits=True)
         o_old = fa.flash_attention(q[:, :4096], q, q)
         results[f"h{heads}_L{L}_maxdiff"] = float(
             jnp.max(jnp.abs(o_new.astype(jnp.float32) -
@@ -109,14 +106,14 @@ def sweep():
     q = jax.random.normal(jax.random.PRNGKey(0), (1, L, heads, 128),
                           jnp.bfloat16) * 0.1
     fl = 4.0 * L * L * heads * 128
-    fa.FLASH_BOUNDED = True
     results = {}
     for bq, bk in ((512, 2048), (512, 2560), (512, 3072), (640, 2048),
                    (384, 2048), (512, 1920)):
         @jax.jit
         def fwdK(q):
             def body(q, _):
-                o = fa.flash_attention(q, q, q, block_q=bq, block_k=bk)
+                o = fa.flash_attention(q, q, q, block_q=bq, block_k=bk,
+                                       bounded_logits=True)
                 return o.astype(q.dtype), None
             q, _ = jax.lax.scan(body, q, None, length=K)
             return jnp.sum(q.astype(jnp.float32))

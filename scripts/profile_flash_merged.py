@@ -61,7 +61,7 @@ def main():
             def gradK(q):
                 def loss(q):
                     def body(q, _):
-                        f = lambda q: fa.flash_attention(q, q, q).astype(
+                        f = lambda q: fa.flash_attention(q, q, q, bounded_logits=True).astype(
                             q.dtype)
                         return jax.checkpoint(
                             f, policy=wan_dit._attn_saveable_policy)(q), None

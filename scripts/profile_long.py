@@ -43,7 +43,7 @@ def main():
     @jax.jit
     def fwd2(q, k, v):
         def body(q, _):
-            return fa.flash_attention(q, k, v), None
+            return fa.flash_attention(q, k, v, bounded_logits=True), None
         q, _ = jax.lax.scan(body, q, None, length=2)
         return jnp.sum(q.astype(jnp.float32))
 
@@ -52,7 +52,7 @@ def main():
     @jax.jit
     def fwdbwd(q, k, v):
         def loss(q, k, v):
-            return jnp.sum(fa.flash_attention(q, k, v).astype(jnp.float32) ** 2)
+            return jnp.sum(fa.flash_attention(q, k, v, bounded_logits=True).astype(jnp.float32) ** 2)
         gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
         return jnp.sum((gq + gk + gv).astype(jnp.float32))
 

@@ -70,7 +70,8 @@ def main():
 
     def attn(q, k, v):
         # q,k head-major from the norm kernel; v token-major
-        return flash_attention(q, k, v, qk_layout="bnld")  # [B, L, N, D]
+        return flash_attention(q, k, v, qk_layout="bnld",
+                               bounded_logits=True)  # [B, L, N, D]
 
     def v0(p, x):
         wq, wk, wv, wo, bq, bk, bv, bo, nq_, nk_ = p

@@ -133,8 +133,9 @@ def main(config, max_steps=None):
         is_flf2v="flf2v" in config.task,
         seed=config.train.seed,
     )
-    loader = make_train_loader(config, dataset, mesh,
-                               start_index=start_step % max(len(dataset), 1))
+    # raw resume step; make_train_loader wraps it into the per-replica
+    # block exactly once (a second modulo here would shift the offset)
+    loader = make_train_loader(config, dataset, mesh, start_index=start_step)
 
     step_fn = make_train_step(model, tx, fm.train_schedule(
         config.extra_model.scheduler.num_train_timesteps),

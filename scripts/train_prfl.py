@@ -139,11 +139,15 @@ def main(config, max_steps=None):
                   if resume and not use_lora else None)
     if opt_resume and os.path.isdir(opt_resume):
         # exact resume: restore the AdamW moments written by
-        # train.save_optimizer_state onto the live shardings
+        # train.save_optimizer_state onto the live shardings. state.step
+        # counts optimizer updates (refl + sft each increment, 2/loop
+        # iteration) — resume it alongside the moments
         restored = ck.load_orbax(opt_resume, like=state.opt_state)
         if state_shardings is not None:
             restored = jax.device_put(restored, state_shardings.opt_state)
-        state = state.replace(opt_state=restored)
+        state = state.replace(
+            opt_state=restored,
+            step=jnp.asarray(2 * start_step, jnp.int32))
         logging.info("restored optimizer state from %s", opt_resume)
     use_ema = config.model.ema.use_ema
     # EMA tracks whatever is being trained (LoRA tree or full params)
@@ -159,9 +163,9 @@ def main(config, max_steps=None):
         null_dir=config.dataset.null_dir,
         seed=config.train.seed,
     )
-    loader = make_train_loader(
-        config, dataset, mesh,
-        start_index=start_step % max(len(dataset), 1))
+    # raw resume step; make_train_loader wraps it into the per-replica
+    # block exactly once (a second modulo here would shift the offset)
+    loader = make_train_loader(config, dataset, mesh, start_index=start_step)
 
     refl_fn = make_refl_step(model, tx, lora_mode=use_lora,
                              opt_transfer=opt_transfer)
@@ -269,9 +273,12 @@ def main(config, max_steps=None):
                     ck.save_wan_checkpoint(
                         jax.device_get(state.params), dit_cfg, out_dir,
                         step=step + 1)
-                if config.train.get("save_optimizer_state"):
+                if config.train.get("save_optimizer_state") and not use_lora:
                     # AdamW moments for exact resume (beyond the
-                    # reference, which restarts the optimizer from zero)
+                    # reference, which restarts the optimizer from zero).
+                    # LoRA runs resume through resume_lora_path, which the
+                    # opt-restore path does not cover — skip the write
+                    # rather than produce an unrestorable artifact
                     ck.save_orbax(
                         os.path.join(out_dir, f"checkpoint-{step + 1}",
                                      "opt_state"), state.opt_state)

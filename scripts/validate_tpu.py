@@ -56,7 +56,8 @@ def main():
     check("flash_fwd", out, ref, atol=2e-2, rtol=2e-2)
 
     loss_flash = lambda q, k, v: jnp.sum(
-        flash_attention(q, k, v).astype(jnp.float32) * w.astype(jnp.float32))
+        flash_attention(q, k, v, bounded_logits=True
+                        ).astype(jnp.float32) * w.astype(jnp.float32))
     loss_xla = lambda q, k, v: jnp.sum(
         _xla_attention(q.astype(jnp.float32), k.astype(jnp.float32),
                        v.astype(jnp.float32), None)

@@ -204,27 +204,25 @@ def test_bounded_forward_matches_shifted():
         q, k, v = _rand_qkv(13, n=1, l=lq)
 
         def run(bounded):
-            old = fa.FLASH_BOUNDED
-            fa.FLASH_BOUNDED = bounded
-            try:
-                out = fa.flash_attention(q, k, v)
-                g = jax.grad(
-                    lambda q: jnp.sum(fa.flash_attention(q, k, v) ** 2))(q)
-                # lse at the kernel boundary (ring merges consume it)
-                blocks = fa.pick_blocks(lq, lq)
-                lp = fa._pad_len(lq, blocks[0])
-                qb = jnp.moveaxis(q, 2, 1).reshape(1, lq, 128)
-                qb = jnp.pad(qb, ((0, 0), (0, lp - lq), (0, 0)))
-                kp = fa._pad_len(lq, blocks[1])
-                kb = jnp.pad(jnp.moveaxis(k, 2, 1).reshape(1, lq, 128),
-                             ((0, 0), (0, kp - lq), (0, 0)))
-                vb = jnp.pad(jnp.moveaxis(v, 2, 1).reshape(1, lq, 128),
-                             ((0, 0), (0, kp - lq), (0, 0)))
-                _, lse = fa._flash_fwd_impl(
-                    qb, kb, vb, jnp.full((1,), lq, jnp.int32), *blocks,
-                    "padfree" if kp != lq else None, lq)
-            finally:
-                fa.FLASH_BOUNDED = old
+            out = fa.flash_attention(q, k, v, bounded_logits=bounded)
+            g = jax.grad(lambda q: jnp.sum(fa.flash_attention(
+                q, k, v, bounded_logits=bounded) ** 2))(q)
+            # lse at the kernel boundary (ring merges consume it)
+            blocks = fa.pick_blocks(lq, lq)
+            lp = fa._pad_len(lq, blocks[0])
+            qb = jnp.moveaxis(q, 2, 1).reshape(1, lq, 128)
+            qb = jnp.pad(qb, ((0, 0), (0, lp - lq), (0, 0)))
+            kp = fa._pad_len(lq, blocks[1])
+            kb = jnp.pad(jnp.moveaxis(k, 2, 1).reshape(1, lq, 128),
+                         ((0, 0), (0, kp - lq), (0, 0)))
+            vb = jnp.pad(jnp.moveaxis(v, 2, 1).reshape(1, lq, 128),
+                         ((0, 0), (0, kp - lq), (0, 0)))
+            mode = "padfree" if kp != lq else None
+            if bounded:
+                mode = fa._encode_bounded(mode)
+            _, lse = fa._flash_fwd_impl(
+                qb, kb, vb, jnp.full((1,), lq, jnp.int32), *blocks,
+                mode, lq)
             return out, g, lse[:, :lq, 0]
 
         ob, gb, lse_b = run(True)
@@ -241,13 +239,53 @@ def test_bounded_forward_matches_shifted():
 
 
 def test_attn_logit_bound():
-    """attn_logit_bound = max|gamma_q| * max|gamma_k| * sqrt(d) over all
-    norm_q/norm_k/norm_k_img leaves (the FLASH_BOUNDED safety contract)."""
+    """attn_logit_bound -> (typical, worst) over all norm_q/norm_k/
+    norm_k_img leaves: typical = gq*gk*sqrt(hd) (per-head energy spread),
+    worst = gq*gk*D/sqrt(hd) (all energy in one aligned head) — the
+    FLASH_BOUNDED contract figures; (0, 0) when no norms found."""
     params = {"params": {"blocks": {
         "self_attn": {"norm_q": jnp.full((64,), 2.0),
                       "norm_k": jnp.full((64,), 0.5)},
         "cross_attn": {"norm_q": jnp.ones((64,)),
                        "norm_k_img": jnp.full((64,), -3.0)},
     }}}
-    b = fa.attn_logit_bound(params, head_dim=64)
-    assert abs(b - 2.0 * 3.0 * 8.0) < 1e-6
+    typical, worst = fa.attn_logit_bound(params, head_dim=16)
+    assert abs(typical - 2.0 * 3.0 * 4.0) < 1e-6
+    assert abs(worst - 2.0 * 3.0 * 64.0 / 4.0) < 1e-6
+    assert fa.attn_logit_bound({"params": {}}, head_dim=16) == (0.0, 0.0)
+
+
+def test_wan_dit_opts_into_bounded_flash(monkeypatch):
+    """The qk-normed DiT attention paths request the fixed-max forward
+    (bounded_logits=True); naive flash_attention callers default to the
+    overflow-safe shifted softmax."""
+    from hyvideo_prfl_tpu.models import wan_dit
+    from hyvideo_prfl_tpu.ops import attention as attn_mod
+
+    seen = []
+    orig = fa.flash_attention
+
+    def spy(q, k, v, **kw):
+        seen.append(bool(kw.get("bounded_logits", False)))
+        return orig(q, k, v, **kw)
+
+    # force the flash backend and the single-chip path so the spy sees
+    # the dispatch kwargs (multichip routes to flash_attention_sharded)
+    monkeypatch.setattr(attn_mod, "_resolve_auto",
+                        lambda *a, **k: "flash")
+    monkeypatch.setattr(attn_mod, "multichip_context", lambda: False)
+    import hyvideo_prfl_tpu.ops.flash_attention as fa_mod
+    monkeypatch.setattr(fa_mod, "flash_attention", spy)
+
+    cfg = wan_dit.WanConfig(model_type="t2v", dim=128, ffn_dim=256,
+                            num_heads=1, num_layers=1, remat=False)
+    blk = wan_dit.WanBlock(cfg)
+    import jax.numpy as jnp2
+    from hyvideo_prfl_tpu.models.rope import rope_tables_rolled
+    cos, sin = rope_tables_rolled((2, 4, 4), cfg.head_dim)
+    x = jnp2.ones((1, 32, 128), jnp2.float32) * 0.1
+    ctx = jnp2.ones((1, 16, 128), jnp2.bfloat16) * 0.1
+    e6 = jnp2.ones((1, 6, 128), jnp2.float32) * 0.1
+    params = blk.init(jax.random.PRNGKey(0), x, e6, ctx, cos, sin)
+    blk.apply(params, x, e6, ctx, cos, sin)
+    assert seen and all(seen), seen  # self + cross both opted in
