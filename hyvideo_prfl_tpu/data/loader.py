@@ -48,6 +48,11 @@ class BlockDistributedSampler:
         # instead of getting an empty block (which would starve the
         # infinite-epoch iterator into a spin)
         self.block = max(1, -(-dataset_len // num_replicas))
+        # resume offsets are per-replica (the reference passes resume_step
+        # raw, train_prfl.py:463); wrap into the block so resuming past a
+        # small dataset starts a fresh epoch instead of starving the
+        # iterator
+        self.start_index %= self.block
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch

@@ -485,16 +485,39 @@ def xlmr_flax_to_torch(tree, cfg, prefix: str = "textual."):
 
 def clip_full_torch_to_flax(state, vis_cfg, txt_cfg):
     """The whole released open-clip checkpoint: vision tower + XLM-R text
-    tower + head + logit scale (XLMRobertaCLIP, clip.py:329-405)."""
-    return {
+    tower + head + logit scale (XLMRobertaCLIP, clip.py:329-405).
+
+    visual_extras carries weights that exist in the released tower but
+    are DEAD in its forward: post_norm is registered unconditionally and
+    never applied (clip.py VisionTransformer — self.post_norm is
+    overwritten by a LayerNorm after the bool), and `head` is the
+    contrastive pooling projection the i2v path (use_31_block penultimate
+    tap) never reaches. Carried through so the real-checkpoint roundtrip
+    is byte-complete."""
+    out = {
         "visual": clip_torch_to_flax(state, vis_cfg),
         "textual": xlmr_torch_to_flax(state, txt_cfg),
         "log_scale": np.asarray(state["log_scale"]),
     }
+    extras = {}
+    if "visual.post_norm.weight" in state:
+        extras["post_norm_scale"] = np.asarray(state["visual.post_norm.weight"])
+        extras["post_norm_bias"] = np.asarray(state["visual.post_norm.bias"])
+    if "visual.head" in state:
+        extras["head"] = np.asarray(state["visual.head"])
+    if extras:
+        out["visual_extras"] = extras
+    return out
 
 
 def clip_full_flax_to_torch(tree, vis_cfg, txt_cfg):
     out = clip_flax_to_torch(tree["visual"], vis_cfg)
     out.update(xlmr_flax_to_torch(tree["textual"], txt_cfg))
     out["log_scale"] = np.asarray(tree["log_scale"])
+    ex = tree.get("visual_extras", {})
+    if "post_norm_scale" in ex:
+        out["visual.post_norm.weight"] = np.asarray(ex["post_norm_scale"])
+        out["visual.post_norm.bias"] = np.asarray(ex["post_norm_bias"])
+    if "head" in ex:
+        out["visual.head"] = np.asarray(ex["head"])
     return out

@@ -145,12 +145,7 @@ def make_train_loader(config, dataset, mesh, start_index: int = 0):
 
     data_size = mesh.shape[shd.DATA_AXIS]
     sp_size = mesh.shape[shd.SP_AXIS]
-    # resume offset is per-replica (the reference passes resume_step raw,
-    # train_prfl.py:463); wrap it into the per-replica block so resuming
-    # past a small dataset's block (e.g. smoke fixtures) starts a fresh
-    # epoch instead of starving the iterator
-    block = max(1, -(-len(dataset) // data_size))
-    start_index %= block
+    # raw resume offsets wrap inside BlockDistributedSampler (per-replica)
     batch_size = config.dataset.batch_size
     shuffle = bool(config.dataset.get("shuffle", False))
     seed = config.train.seed

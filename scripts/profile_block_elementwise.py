@@ -58,7 +58,7 @@ def timeit(tag, fn, *args, n=3):
     return best
 
 
-def scanK(fn, *args):
+def scanK(fn):
     """Chain K applications of fn(x, *rest) -> x-like, fetch one scalar."""
     @jax.jit
     def run(x, *rest):
@@ -86,20 +86,20 @@ def main():
         h = wan_dit._layer_norm(x, 1e-6) * (1.0 + e1) + e0
         return h.astype(jnp.bfloat16).astype(jnp.float32) * 0.999 + x * 1e-3
 
-    t = (timeit("ln_mod", scanK(ln_mod, e0, e1), x, e0, e1) - rt) / K
+    t = (timeit("ln_mod", scanK(ln_mod), x, e0, e1) - rt) / K
     res["ln_mod_ms"] = round(t * 1e3, 2)
 
     def ln_aff(x, scale, bias):
         h = wan_dit._layer_norm(x, 1e-6, scale, bias)
         return h.astype(jnp.bfloat16).astype(jnp.float32) * 0.999 + x * 1e-3
 
-    t = (timeit("ln_aff", scanK(ln_aff, scale, bias), x, scale, bias) - rt) / K
+    t = (timeit("ln_aff", scanK(ln_aff), x, scale, bias) - rt) / K
     res["ln_aff_ms"] = round(t * 1e3, 2)
 
     def add_gate(x, y, e1):
         return x + y.astype(jnp.float32) * e1
 
-    t = (timeit("add_gate", scanK(add_gate, y_bf, e1), x, y_bf, e1) - rt) / K
+    t = (timeit("add_gate", scanK(add_gate), x, y_bf, e1) - rt) / K
     res["add_gate_ms"] = round(t * 1e3, 2)
 
     def chain(x, e0, e1, scale, bias, y):
@@ -111,7 +111,7 @@ def main():
         x = x + h3.astype(jnp.bfloat16).astype(jnp.float32) * e1
         return x
 
-    t = (timeit("chain6", scanK(chain, e0, e1, scale, bias, y_bf),
+    t = (timeit("chain6", scanK(chain),
                 x, e0, e1, scale, bias, y_bf) - rt) / K
     res["chain6_ms"] = round(t * 1e3, 2)
 
@@ -127,7 +127,7 @@ def main():
     def block(x, p):
         return blk.apply(p, x, e6, ctx, cos, sin).astype(x.dtype)
 
-    t = (timeit("block_fwd", scanK(block, params), x, params) - rt) / K
+    t = (timeit("block_fwd", scanK(block), x, params) - rt) / K
     res["block_fwd_ms"] = round(t * 1e3, 2)
 
     bytes_rw = L * DIM * 4 * 2

@@ -91,6 +91,7 @@ def main(config, max_steps=None):
     resume = config.model.get("resume_transformer_path")
     start_step = 0
     if resume and os.path.isdir(resume):
+        resume = os.path.normpath(resume)  # "-opt" suffixing below
         logging.info("resuming PAVRM trainable state from %s", resume)
         trainable = ck.load_orbax(resume)
         start_step = ck.parse_resume_step(resume)

@@ -248,12 +248,20 @@ def fabricate_selftest_weights(args, root):
                                       jnp.ones((1, 8), jnp.int32))
     mid = (tc.dim + 16) // 2
     rng = np.random.RandomState(7)
+    vd = args._clip_cfg.dim
     full = {
         "visual": jax.device_get(cp),
         "textual": {"params": jax.device_get(txt)["params"],
                     "head": {"h0": rng.randn(tc.dim, mid).astype(np.float32),
                              "h2": rng.randn(mid, 16).astype(np.float32)}},
         "log_scale": np.float32(2.6593),
+        # dead-but-present released-tower weights (post_norm + pool head)
+        # so the selftest exercises the full real key surface
+        "visual_extras": {
+            "post_norm_scale": np.ones((vd,), np.float32),
+            "post_norm_bias": np.zeros((vd,), np.float32),
+            "head": rng.randn(vd, 16).astype(np.float32),
+        },
     }
     args.clip_pth = os.path.join(root, "clip.pth")
     torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in
