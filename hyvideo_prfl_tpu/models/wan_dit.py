@@ -40,6 +40,7 @@ import numpy as np
 
 from ..ops.attention import dot_product_attention
 from ..ops.qknorm_rope import rmsnorm_only, rmsnorm_rope
+from ..ops.stream import ln_scale_shift
 from ..parallel.sharding import ShardingPolicy, constrain
 from .rope import apply_rope_rolled, rope_tables_rolled
 
@@ -353,24 +354,39 @@ class WanBlock(nn.Module):
         e6 = (mod.astype(jnp.float32) + e.astype(jnp.float32))
         e0, e1, e2, e3, e4, e5 = [e6[:, i][:, None, :].astype(rd)
                                   for i in range(6)]
+        # fp32 stream: LN+modulate through the fused Pallas kernel (ONE pass
+        # of x; the unfused XLA lowering measures 13 ms/pass at the 14B
+        # Ulysses shard — scripts/profile_stream_fused.py). The bf16-stream
+        # option keeps the inline math (its modulate rounds at bf16, which
+        # the fp32 kernel intentionally does not reproduce).
+        fused_ln = rd == jnp.float32
 
         x = x.astype(rd)
-        h = _layer_norm(x, 1e-6).astype(rd) * (1.0 + e1) + e0
-        y = SelfAttention(cfg, policy, name="self_attn")(h.astype(cd), cos, sin)
+        if fused_ln:
+            h = ln_scale_shift(x, 1.0 + e6[:, 1], e6[:, 0], out_dtype=cd)
+        else:
+            h = (_layer_norm(x, 1e-6).astype(rd) * (1.0 + e1) + e0).astype(cd)
+        y = SelfAttention(cfg, policy, name="self_attn")(h, cos, sin)
         x = x + y.astype(rd) * e2
         x = constrain(x, policy, "tokens")
 
         if cfg.cross_attn_norm:
             scale = self.param("norm3_scale", nn.initializers.ones, (cfg.dim,))
             bias = self.param("norm3_bias", nn.initializers.zeros, (cfg.dim,))
-            h = _layer_norm(x, 1e-6, scale, bias)
+            if fused_ln:
+                h = ln_scale_shift(x, scale, bias, out_dtype=cd)
+            else:
+                h = _layer_norm(x, 1e-6, scale, bias)
         else:
             h = x
         y = CrossAttention(cfg, policy, name="cross_attn")(h.astype(cd), context)
         x = x + y.astype(rd)
 
-        h = _layer_norm(x, 1e-6).astype(rd) * (1.0 + e4) + e3
-        h = _dense("ffn_0", cfg.ffn_dim, cd)(h.astype(cd))
+        if fused_ln:
+            h = ln_scale_shift(x, 1.0 + e6[:, 4], e6[:, 3], out_dtype=cd)
+        else:
+            h = (_layer_norm(x, 1e-6).astype(rd) * (1.0 + e4) + e3).astype(cd)
+        h = _dense("ffn_0", cfg.ffn_dim, cd)(h)
         h = nn.gelu(h, approximate=True)
         h = _dense("ffn_2", cfg.dim, cd)(h)
         x = x + h.astype(rd) * e5
@@ -393,9 +409,9 @@ class Head(nn.Module):
             (1, 2, cfg.dim),
         )
         e2 = mod.astype(jnp.float32) + e.astype(jnp.float32)[:, None, :]
-        e0, e1 = e2[:, 0][:, None, :], e2[:, 1][:, None, :]
         x = x.astype(jnp.float32)
-        h = _layer_norm(x, 1e-6) * (1.0 + e1) + e0
+        h = ln_scale_shift(x, 1.0 + e2[:, 1], e2[:, 0],
+                           out_dtype=jnp.float32)
         return _dense("head", out_dim, jnp.float32, init="zeros")(h)
 
 

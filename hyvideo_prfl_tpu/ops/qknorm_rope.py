@@ -63,13 +63,23 @@ def _interpret() -> bool:
 
 
 def pick_block_l(l: int, n: int, d: int) -> int:
-    """Largest divisor of l (multiple of 8) whose fp32 block fits the
-    VMEM budget; 0 when none exists (caller falls back to XLA)."""
-    cap = max(MAX_BLOCK_BYTES // (n * d * 4), 8)
-    for bl in range(min(cap, l) - min(cap, l) % 8, 7, -8):
+    """Multiple-of-8 block length whose fp32 working set fits the VMEM
+    budget; 0 when none fits (caller falls back to XLA). Prefers an exact
+    divisor of l; when l has no multiple-of-8 divisor (the 14B Ulysses
+    shard 18,900 = 2^2*3^3*5^2*7 — measured 13 ms/pass through the unfused
+    XLA fallback before this path, scripts/profile_stream_fused.py) the
+    largest fitting multiple of 8 runs under a cdiv grid: Mosaic masks the
+    trailing block's writes and the backward masks its rows out of the
+    cross-row dw partials. Odd exact divisors (150 | 18,900) are NOT
+    usable — Mosaic requires block dims be multiples of (8, 128) or the
+    full array dim (probed on hardware)."""
+    cap = min(MAX_BLOCK_BYTES // (n * d * 4), l)
+    if cap < 8:
+        return 0
+    for bl in range(cap - cap % 8, 7, -8):
         if l % bl == 0:
             return bl
-    return 0
+    return cap - cap % 8
 
 
 def _fwd_kernel(x_ref, w_ref, c_ref, s_ref, o_ref, *, eps, half, do_rope,
@@ -94,10 +104,18 @@ def _fwd_kernel(x_ref, w_ref, c_ref, s_ref, o_ref, *, eps, half, do_rope,
 
 
 def _bwd_kernel(x_ref, w_ref, c_ref, sb_ref, g_ref, dx_ref, dw_ref,
-                *, eps, half, do_rope, inv_m, n, d):
+                *, eps, half, do_rope, inv_m, n, d, bl, l):
     x2 = x_ref[0]                                     # [BL, N*D]
     c = c_ref[:]
     sb = sb_ref[:]                                    # roll(S, D/2)
+    if l % bl:
+        # ragged trailing block: garbage rows' dx writes are masked by
+        # Pallas, but the cross-row dw partials must exclude them (the
+        # where also scrubs NaNs the garbage stats produce)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bl, 1), 0)
+        valid = rows < (l - pl.program_id(1) * bl)
+    else:
+        valid = None
     dus, ms, dot = [], None, None
     for i in range(n):
         xi = x2[:, i * d:(i + 1) * d].astype(jnp.float32)
@@ -121,8 +139,11 @@ def _bwd_kernel(x_ref, w_ref, c_ref, sb_ref, g_ref, dx_ref, dw_ref,
             r * dt - xi * r3dot).astype(dx_ref.dtype)
         # t as the forward computes it (bf16 rounding included)
         ti = (xi * r).astype(g_ref.dtype).astype(jnp.float32)
+        duti = dus[i] * ti
+        if valid is not None:
+            duti = jnp.where(valid, duti, 0.0)
         dws.append(jax.lax.dot_general(
-            ones, dus[i] * ti, (((1,), (0,)), ((), ())),
+            ones, duti, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))      # [1, D]
     dw_ref[0, 0] = jnp.concatenate(dws, axis=0)       # [N, D] partial
 
@@ -130,7 +151,7 @@ def _bwd_kernel(x_ref, w_ref, c_ref, sb_ref, g_ref, dx_ref, dw_ref,
 def _fwd_call(x, w, c_tab, s_tab, eps, do_rope, bl):
     b, l, m = x.shape
     n, d = w.shape
-    grid = (b, l // bl)
+    grid = (b, pl.cdiv(l, bl))
     return pl.pallas_call(
         functools.partial(_fwd_kernel, eps=eps, half=d // 2,
                           do_rope=do_rope, inv_m=1.0 / m, n=n, d=d),
@@ -152,10 +173,12 @@ def _fwd_call(x, w, c_tab, s_tab, eps, do_rope, bl):
 def _bwd_call(x, w, c_tab, s_bwd, g, eps, do_rope, bl):
     b, l, m = x.shape
     n, d = w.shape
-    grid = (b, l // bl)
+    nblk = pl.cdiv(l, bl)
+    grid = (b, nblk)
     dx, dw_part = pl.pallas_call(
         functools.partial(_bwd_kernel, eps=eps, half=d // 2,
-                          do_rope=do_rope, inv_m=1.0 / m, n=n, d=d),
+                          do_rope=do_rope, inv_m=1.0 / m, n=n, d=d,
+                          bl=bl, l=l),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bl, m), lambda b_, i: (b_, i, 0)),
@@ -170,7 +193,7 @@ def _bwd_call(x, w, c_tab, s_bwd, g, eps, do_rope, bl):
         ],
         out_shape=[
             jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct((b, l // bl, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, nblk, n, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),

@@ -61,6 +61,32 @@ def test_fwd_local_kernel_matches_xla_ref_exactly():
                                atol=1e-6, rtol=1e-6)
 
 
+def test_ragged_divisor_block():
+    """l = 36 has no multiple-of-8 divisor: the picker takes bl=32 under a
+    cdiv grid and the trailing block's 4 valid rows are write-masked (fwd/
+    dx) and partial-masked (dw) — the 14B Ulysses shard 18,900 hits the
+    same path with bl=152. Fwd and bwd must both match."""
+    assert qr.pick_block_l(36, N, D) == 32
+    x, w, cos, sin = _mk(l=36, grid=(3, 4, 3), dtype=jnp.float32)
+    got = qr._local(x, w.reshape(N, D), cos, sin, 1e-6, True)
+    want = qr._xla_ref(x, w.reshape(N, D), cos, sin, 1e-6, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+
+    def f_fused(x, w):
+        return jnp.sum(jnp.sin(qr.rmsnorm_rope(x, w, cos, sin, N)))
+
+    def f_ref(x, w):
+        return jnp.sum(jnp.sin(_unfused(x, w, cos, sin)))
+
+    gx, gw = jax.grad(f_fused, argnums=(0, 1))(x, w)
+    rx, rw = jax.grad(f_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw).ravel(), np.asarray(rw).ravel(),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_bwd_matches_unfused():
     x, w, cos, sin = _mk(dtype=jnp.float32)
 
