@@ -178,11 +178,9 @@ class WanPipeline:
         noise = jax.random.normal(rng, latent_shape, jnp.float32)
         gate0 = tc.init_state(b, cfg.dim, seq)
         res0 = jnp.zeros((b, seq, cfg.dim), jnp.float32)
-        solver0 = unipc_mod.init_state(latent_shape, jnp.float32)
 
-        def body(carry, xs):
-            x, solver, gate, res_c, res_u = carry
-            i, t, c = xs
+        def vel(x, t, i, extra):
+            gate, res_c, res_u = extra
             e = time_embed_only(self.params, cfg, jnp.full((b,), t))
             skip, gate = tc.should_skip(gate, e, i, n, thresh, coeffs)
 
@@ -195,13 +193,11 @@ class WanPipeline:
             cond, res_c = fwd(context, res_c)
             uncond, res_u = fwd(context_null, res_u)
             v = uncond + gen.guide_scale * (cond - uncond)
-            x_next, solver = unipc_mod._apply(c, solver, v, x)
-            return (x_next, solver, gate, res_c, res_u), None
+            return v, (gate, res_c, res_u)
 
-        xs = (jnp.arange(n, dtype=jnp.int32), sched.timesteps,
-              jax.tree.map(lambda a: a[:n], sched.coeffs))
-        (x_final, *_), _ = jax.lax.scan(
-            body, (noise, solver0, gate0, res0, res0), xs)
+        # the SAME scan as sample() — solver stepping shared by construction
+        x_final, _, _ = unipc_mod.rollout(
+            sched, vel, noise, extra_init=(gate0, res0, res0))
         return x_final
 
     def decode(self, latents):

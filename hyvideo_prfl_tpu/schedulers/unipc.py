@@ -228,42 +228,53 @@ def rollout(
     x_init: jnp.ndarray,
     num_steps: int | None = None,
     stop_index=None,
+    extra_init=None,
 ):
     """Full (or truncated) denoising chain as one lax.scan over the table.
 
     velocity_fn(x, t_scalar) -> v. For PRFL's random mid-timestep truncation
     (train_prfl.py:639-699) pass a traced `stop_index`: steps with
     index >= stop_index become identity.
+
+    extra_init: optional user carry threaded through the scan (e.g. the
+    TeaCache gate + residual caches). When given, the signature becomes
+    velocity_fn(x, t_scalar, step_i, extra) -> (v, extra) and rollout
+    returns (x_final, state_final, extra_final). This is THE sampling scan —
+    sample() and sample_teacache() both run through it, so the solver
+    stepping cannot drift between the two paths.
     """
     n = schedule.num_steps if num_steps is None else num_steps
     coeffs = jax.tree.map(lambda a: a[:n], schedule.coeffs)
     state0 = init_state(x_init.shape, jnp.float32)
 
+    def step(x, st, extra, i, t, c):
+        if extra_init is None:
+            v = velocity_fn(x, t)
+        else:
+            v, extra = velocity_fn(x, t, i, extra)
+        x_next, st_next = _apply(c, st, v, x)  # _apply bumps step_index
+        return x_next, st_next, extra
+
     def body(carry, xs):
-        x, st = carry
+        x, st, extra = carry
         i, t, c = xs
         if stop_index is None:
-            v = velocity_fn(x, t)
-            x_next, st_next = _apply(c, st, v, x)
-            st_next = st_next.replace(step_index=st.step_index + 1)
-            return (x_next, st_next), None
+            return step(x, st, extra, i, t, c), None
         # truncated rollout: steps past stop_index SKIP the model call
         # entirely (lax.cond executes one branch), matching the reference's
         # early-stopping python loop cost, not just its semantics
-        def active(operand):
-            x, st = operand
-            v = velocity_fn(x, t)
-            x_next, st_next = _apply(c, st, v, x)
-            st_next = st_next.replace(step_index=st.step_index + 1)
-            return (x_next, st_next)
-
-        x_next, st_next = jax.lax.cond(
-            i < stop_index, active, lambda op: op, (x, st)
+        nxt = jax.lax.cond(
+            i < stop_index,
+            lambda op: step(*op, i, t, c),
+            lambda op: op,
+            (x, st, extra),
         )
-        return (x_next, st_next), None
+        return nxt, None
 
     xs = (jnp.arange(n, dtype=jnp.int32), schedule.timesteps[:n], coeffs)
-    (x_final, state_final), _ = jax.lax.scan(
-        body, (x_init.astype(jnp.float32), state0), xs
+    (x_final, state_final, extra_final), _ = jax.lax.scan(
+        body, (x_init.astype(jnp.float32), state0, extra_init), xs
     )
-    return x_final, state_final
+    if extra_init is None:
+        return x_final, state_final
+    return x_final, state_final, extra_final
