@@ -184,14 +184,31 @@ class WanPipeline:
             e = time_embed_only(self.params, cfg, jnp.full((b,), t))
             skip, gate = tc.should_skip(gate, e, i, n, thresh, coeffs)
 
-            def fwd(ctx, res):
+            if self.batch_cfg:
+                # cond/uncond as ONE 2B-batch forward (matches sample());
+                # residual caches ride along in the same batch split
+                x2 = jnp.concatenate([x, x], axis=0)
+                ctx2 = jnp.concatenate([context, context_null], axis=0)
+                res2 = jnp.concatenate([res_c, res_u], axis=0)
+                y2 = jnp.concatenate([y, y], axis=0) if y is not None else None
+                clip2 = (jnp.concatenate([clip_fea, clip_fea], axis=0)
+                         if clip_fea is not None else None)
                 out, _, res_new = self.model.apply(
-                    self.params, x, t, ctx, y=y, clip_fea=clip_fea,
-                    skip_blocks=skip, residual_in=res, output_residual=True)
-                return out, res_new
+                    self.params, x2, jnp.full((2 * b,), t), ctx2,
+                    y=y2, clip_fea=clip2,
+                    skip_blocks=skip, residual_in=res2, output_residual=True)
+                cond, uncond = out[:b], out[b:]
+                res_c, res_u = res_new[:b], res_new[b:]
+            else:
+                def fwd(ctx, res):
+                    out, _, res_new = self.model.apply(
+                        self.params, x, t, ctx, y=y, clip_fea=clip_fea,
+                        skip_blocks=skip, residual_in=res,
+                        output_residual=True)
+                    return out, res_new
 
-            cond, res_c = fwd(context, res_c)
-            uncond, res_u = fwd(context_null, res_u)
+                cond, res_c = fwd(context, res_c)
+                uncond, res_u = fwd(context_null, res_u)
             v = uncond + gen.guide_scale * (cond - uncond)
             return v, (gate, res_c, res_u)
 

@@ -12,6 +12,13 @@ Checks:
   4. ring _block_bwd (flash-bwd against a global lse) vs the einsum formula
   5. DPM++ rollout jit == eager per-step (the axon while-loop miscompile
      class — see CLAUDE.md)
+  6. bounded (fixed-max) flash forward vs the shifted-softmax forward at
+     qk-norm-scale logits (round-3e kernel)
+  7. single-pass merged flash backward vs the split dq/dkv kernels at a
+     length where the merged path engages (round-3d kernel)
+  8. fused LN+modulate stream kernel (ops/stream.py) fwd+bwd vs the XLA
+     chain at a RAGGED length (non-multiple-of-8 grid, round-3f)
+  9. ragged-grid qknorm_rope (non-multiple-of-8 token count)
 """
 
 from __future__ import annotations
@@ -107,6 +114,68 @@ def main():
     for name, a, r in zip(("dq", "dk", "dv"), tpu,
                           (dq_ref, dk_ref, dv_ref)):
         check(f"ring_block_bwd_{name}", a, r, atol=5e-2, rtol=1e-2)
+
+    # ---- 6: bounded flash forward vs shifted ------------------------------
+    # qk-norm-scale inputs (the regime the bounded kernel is wired for)
+    qs, ks_, vs = (0.3 * t for t in (q, k, v))
+    out_b = jax.jit(lambda q, k, v: flash_attention(
+        q, k, v, bounded_logits=True))(qs, ks_, vs)
+    out_s = jax.jit(lambda q, k, v: flash_attention(q, k, v))(qs, ks_, vs)
+    check("flash_bounded_vs_shifted", out_b, out_s, atol=1e-3, rtol=1e-3)
+
+    # ---- 7: merged backward vs split kernels ------------------------------
+    import hyvideo_prfl_tpu.ops.flash_attention as fa_mod
+
+    lm = 2560  # long enough that the merged single-pass path engages
+    km = jax.random.split(jax.random.PRNGKey(11), 4)
+    qm, kmt, vm, wm = (0.3 * jax.random.normal(kk, (1, lm, 4, d), jnp.bfloat16)
+                       for kk in km)
+    lossm = lambda q, k, v: jnp.sum(
+        flash_attention(q, k, v).astype(jnp.float32)
+        * wm.astype(jnp.float32))
+    saved = fa_mod.FLASH_MERGED_BWD
+    try:
+        fa_mod.FLASH_MERGED_BWD = True
+        g_merged = jax.jit(jax.grad(lambda q, k, v: lossm(q, k, v),
+                                    argnums=(0, 1, 2)))(qm, kmt, vm)
+        fa_mod.FLASH_MERGED_BWD = False
+        g_split = jax.jit(jax.grad(lambda a, bb, c: lossm(a, bb, c),
+                                   argnums=(0, 1, 2)))(qm, kmt, vm)
+    finally:
+        fa_mod.FLASH_MERGED_BWD = saved
+    for name, a, r in zip(("dq", "dk", "dv"), g_merged, g_split):
+        check(f"flash_merged_vs_split_{name}", a, r, atol=1e-3, rtol=1e-3)
+
+    # ---- 8: fused LN+modulate stream kernel at a ragged length ------------
+    from hyvideo_prfl_tpu.ops import stream
+
+    lr = 660  # 660 = 4*165: no multiple-of-8 divisor => ragged grid
+    xs = jax.random.normal(jax.random.PRNGKey(12), (1, lr, dim), jnp.float32)
+    ss = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(13), (1, dim))
+    ts = 0.1 * jax.random.normal(jax.random.PRNGKey(14), (1, dim))
+    fused_ln = jax.jit(lambda x, s, t: stream.ln_scale_shift(x, s, t))(
+        xs, ss, ts)
+    ref_ln = stream._xla_ref(xs, ss, ts, 1e-6, jnp.bfloat16)
+    check("stream_ln_ragged_fwd", fused_ln, ref_ln, atol=2e-2, rtol=2e-2)
+
+    gw = jax.random.normal(jax.random.PRNGKey(15), (1, lr, dim), jnp.float32)
+    loss_f = lambda x, s, t: jnp.sum(
+        stream.ln_scale_shift(x, s, t).astype(jnp.float32) * gw)
+    loss_r = lambda x, s, t: jnp.sum(
+        stream._xla_ref(x, s, t, 1e-6, jnp.bfloat16).astype(jnp.float32) * gw)
+    gs_f = jax.jit(jax.grad(loss_f, argnums=(0, 1, 2)))(xs, ss, ts)
+    gs_r = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))(xs, ss, ts)
+    for name, a, r in zip(("dx", "ds", "dt"), gs_f, gs_r):
+        check(f"stream_ln_ragged_bwd_{name}", a, r, atol=5e-2, rtol=2e-2)
+
+    # ---- 9: ragged-grid qknorm_rope ----------------------------------------
+    cos_r, sin_r = rope_tables_rolled((4, 11, 15), d)  # 660 tokens
+    xr = jax.random.normal(jax.random.PRNGKey(16), (1, lr, dim), jnp.bfloat16)
+    fused_r = jax.jit(lambda x, w: qr.rmsnorm_rope(x, w, cos_r, sin_r, n,
+                                                   1e-6))(xr, wq)
+    ref_r = qr._xla_ref(xr, wq.reshape(n, d), cos_r.astype(jnp.float32),
+                        sin_r.astype(jnp.float32), 1e-6, True)
+    check("qknorm_rope_ragged", fused_r, ref_r, atol=2e-2, rtol=2e-2)
 
     # ---- 5: DPM++ rollout jit == eager ------------------------------------
     from hyvideo_prfl_tpu.schedulers import dpm as dpm_mod
