@@ -92,6 +92,14 @@ def test_teacache_sampling_runs_and_matches_low_thresh():
                                    thresh=1e9, coeffs_key="t2v-1.3b")
     assert np.isfinite(np.asarray(tc_skip)).all()
     assert float(jnp.abs(tc_skip - plain).max()) > 0  # skipping changed result
+    # batched CFG (default) == sequential cond/uncond forwards, both regimes
+    pipe_seq = WanT2V(cfg, params, batch_cfg=False)
+    for thresh, batched in ((-1.0, tc_out), (1e9, tc_skip)):
+        seq = pipe_seq.sample_teacache(rng, (1, 2, 8, 8, 16), ctx, ctx_null,
+                                       gen, thresh=thresh,
+                                       coeffs_key="t2v-1.3b")
+        np.testing.assert_allclose(np.asarray(batched), np.asarray(seq),
+                                   atol=1e-4)
 
 
 def test_euler_solver_distill():

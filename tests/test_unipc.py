@@ -183,3 +183,36 @@ def test_final_step_is_finite():
     for i in range(n):
         x, st = unipc.unipc_step(sched, st, jnp.full_like(x, 0.3), x)
         assert np.isfinite(np.asarray(x)).all(), f"non-finite at step {i}"
+
+
+def test_rollout_extra_carry_matches_plain():
+    """The extra-carry hook (TeaCache's path into the shared scan) must be
+    bit-identical to the plain path and thread its carry, including under
+    stop_index truncation."""
+    n = 10
+    sched = unipc.unipc_schedule(n, shift=5.0)
+    shape = (1, 4, 4)
+    x0 = jnp.asarray(np.random.RandomState(3).randn(*shape), jnp.float32)
+
+    def vel(x, t):
+        return 0.3 * jnp.tanh(x) + t / 4000.0
+
+    def vel_c(x, t, i, c):
+        return vel(x, t), c + 1
+
+    x_plain, _ = jax.jit(lambda x: unipc.rollout(sched, vel, x))(x0)
+    x_c, _, calls = jax.jit(
+        lambda x: unipc.rollout(sched, vel_c, x, extra_init=jnp.int32(0))
+    )(x0)
+    np.testing.assert_array_equal(np.asarray(x_plain), np.asarray(x_c))
+    assert int(calls) == n
+
+    stop = jnp.int32(4)
+    x_t, st_t = jax.jit(
+        lambda x, s: unipc.rollout(sched, vel, x, stop_index=s))(x0, stop)
+    x_tc, st_tc, calls_t = jax.jit(
+        lambda x, s: unipc.rollout(sched, vel_c, x, stop_index=s,
+                                   extra_init=jnp.int32(0)))(x0, stop)
+    np.testing.assert_array_equal(np.asarray(x_t), np.asarray(x_tc))
+    assert int(calls_t) == 4
+    assert int(st_tc.step_index) == int(st_t.step_index) == 4
