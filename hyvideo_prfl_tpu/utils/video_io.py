@@ -17,10 +17,13 @@ import numpy as np
 
 
 def read_video(path: str, num_frames: Optional[int] = None,
-               target_fps: Optional[float] = None) -> Tuple[np.ndarray, float]:
+               target_fps: Optional[float] = None,
+               start_frame: int = 0) -> Tuple[np.ndarray, float]:
     """mp4 (local path or http(s) URL) -> ([T, H, W, 3] uint8, fps), with
     optional fps resampling and 4n+1 frame alignment
-    (gen_wanx_latent.py:66-72 URL fetch, :98-115, :196-197)."""
+    (gen_wanx_latent.py:66-72 URL fetch, :98-115, :196-197).
+    start_frame: skip this many source frames before resampling (the
+    reference's `start_idx`, gen_wanx_latent.py:104)."""
     import imageio.v3 as iio
 
     src = path
@@ -32,13 +35,20 @@ def read_video(path: str, num_frames: Optional[int] = None,
         with urllib.request.urlopen(
                 urllib.request.Request(path), timeout=20) as resp:
             src = resp.read()  # bytes; imageio decodes in-memory
-    frames = iio.imread(src, plugin="pyav", extension=".mp4"
-                        if isinstance(src, bytes) else None)  # [T, H, W, 3]
     try:
-        meta = iio.immeta(src, plugin="pyav")
-        fps = float(meta.get("fps", 30.0))
-    except Exception:
-        fps = 30.0
+        frames = iio.imread(src, plugin="pyav", extension=".mp4"
+                            if isinstance(src, bytes) else None)  # [T,H,W,3]
+        try:
+            meta = iio.immeta(src, plugin="pyav")
+            fps = float(meta.get("fps", 30.0))
+        except Exception:
+            fps = 30.0
+    except ImportError:
+        # pyav absent: decode through OpenCV (mirrors cache_video's cv2
+        # writer fallback; URL sources spill to a temp file for cv2)
+        frames, fps = _read_video_cv2(src)
+    if start_frame:
+        frames = frames[start_frame:]
     if target_fps and abs(target_fps - fps) > 1e-3:
         idx = np.arange(0, len(frames), fps / target_fps).astype(np.int64)
         idx = idx[idx < len(frames)]
@@ -50,6 +60,52 @@ def read_video(path: str, num_frames: Optional[int] = None,
     t = len(frames)
     t_aligned = (t - 1) // 4 * 4 + 1
     return np.asarray(frames[:t_aligned]), fps
+
+
+def _read_video_cv2(src) -> Tuple[np.ndarray, float]:
+    """cv2.VideoCapture decode: src is a path or in-memory mp4 bytes."""
+    import tempfile
+
+    import cv2
+
+    tmp = None
+    path = src
+    if isinstance(src, bytes):
+        tmp = tempfile.NamedTemporaryFile(suffix=".mp4", delete=False)
+        tmp.write(src)
+        tmp.close()
+        path = tmp.name
+    try:
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            raise IOError(f"cv2 cannot open video: {path}")
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        cap.release()
+        if not frames:
+            raise IOError(f"no frames decoded from {path}")
+        return np.stack(frames), float(fps)
+    finally:
+        if tmp is not None:
+            os.unlink(tmp.name)
+
+
+def target_size_for(h: int, w: int, resolution: int, aspect_ratio: float
+                    ) -> Tuple[int, int]:
+    """(height, width) target for a clip of source size (h, w), matching
+    the reference's height_width_scale (gen_wanx_latent.py:117-149):
+    scale the short side to `resolution`, 32-align-ceil both dims, cap
+    each at ceil32(resolution * aspect_ratio)."""
+    ceil32 = lambda v: int(-(-int(v) // 32) * 32)
+    scale = resolution / min(h, w)
+    rh, rw = ceil32(int(h * scale)), ceil32(int(w * scale))
+    max_r = ceil32(resolution * aspect_ratio)
+    return min(rh, max_r), min(rw, max_r)
 
 
 def resize_center_crop(frames: np.ndarray, height: int, width: int

@@ -64,7 +64,13 @@ def main():
         elif args.kind == "clip":
             from hyvideo_prfl_tpu.models.clip import vit_h_14
 
-            params = ce.clip_torch_to_flax(state, vit_h_14())
+            if "log_scale" in state:  # released combined open-clip ckpt
+                from hyvideo_prfl_tpu.models.xlm_roberta import xlm_roberta_large
+
+                params = ce.clip_full_torch_to_flax(state, vit_h_14(),
+                                                    xlm_roberta_large())
+            else:
+                params = ce.clip_torch_to_flax(state, vit_h_14())
         elif args.kind == "mlp":
             params = ce.reward_mlp_torch_to_flax(state)
         else:  # qattn

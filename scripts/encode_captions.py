@@ -38,7 +38,15 @@ def make_t5_embedder(t5_params_path: str, tokenizer: str = "google/umt5-xxl",
     from hyvideo_prfl_tpu.utils.tokenizers import HuggingfaceTokenizer
 
     cfg = t5_mod.umt5_xxl()
-    params = ck.load_orbax(t5_params_path)
+    if t5_params_path.endswith((".pth", ".pt")):
+        # released torch pickle (reference text_encoder_path) -> in-memory
+        # conversion; no prior convert_weights.py run needed
+        from hyvideo_prfl_tpu.utils import convert_encoders as ce
+        from scripts.convert_weights import _load_torch_state
+
+        params = ce.t5_torch_to_flax(_load_torch_state(t5_params_path), cfg)
+    else:
+        params = ck.load_orbax(t5_params_path)
     try:
         tok = HuggingfaceTokenizer(tokenizer, seq_len=text_len,
                                    clean="whitespace")

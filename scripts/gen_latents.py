@@ -31,7 +31,7 @@ from hyvideo_prfl_tpu.configs import load_config
 from hyvideo_prfl_tpu.models import clip as clip_mod
 from hyvideo_prfl_tpu.models import vae as vae_mod
 from hyvideo_prfl_tpu.utils.video_io import (
-    read_video, resize_center_crop, to_model_range,
+    read_video, resize_center_crop, target_size_for, to_model_range,
 )
 
 
@@ -59,50 +59,101 @@ def encode_clip_data(vae, vae_params, clip_tower, clip_params, video_m1_1,
     return to_ref(latents), to_ref(f1_lat), np.asarray(img_clip)[None]
 
 
+def resolve_config(config):
+    """Accept BOTH config schemas: this framework's nested keys
+    (extra_model.*.params_path, input_json, height/width) and the
+    reference's flat preprocess YAML (configs/pre_{480,720}.yaml keys:
+    json_path, vae_path, image_encoder_path, text_encoder_path,
+    tokenizer_path, sample_n_frames, extract_fps, resolution [min_side] +
+    aspect_ratio, start_idx — gen_wanx_latent.py args), so the reference's
+    pre_*.yaml configs port verbatim."""
+    get = config.get
+    gp = config.get_path
+    res = get("resolution")
+    if isinstance(res, (list, tuple)):
+        res = res[0] if res else None
+    return dict(
+        save_dir=get("save_dir", "latent_cache"),
+        input_json=get("input_json") or get("json_path"),
+        num_frames=int(get("num_frames") or get("sample_n_frames") or 81),
+        fps=get("extract_fps") or get("fps") or 16,
+        start_idx=int(get("start_idx") or 0),
+        height=get("height"),
+        width=get("width"),
+        resolution=int(res) if res else None,
+        aspect_ratio=float(get("aspect_ratio") or 1.81),
+        vae_path=gp("extra_model.vae.params_path") or get("vae_path"),
+        clip_path=(gp("extra_model.image_encoder.params_path")
+                   or get("image_encoder_path")),
+        t5_path=(gp("extra_model.text_encoder.params_path")
+                 or get("text_encoder_path") or ""),
+        tokenizer=(gp("extra_model.text_encoder.tokenizer")
+                   or get("tokenizer_path") or "google/umt5-xxl"),
+        text_len=int(gp("extra_model.text_encoder.t5_text_len")
+                     or get("max_sequence_length") or 512),
+    )
+
+
+def _load_vae_params(path):
+    """orbax dir or a released torch .pth (auto-converted in-memory)."""
+    from hyvideo_prfl_tpu.utils import checkpoint as ck
+
+    if path.endswith((".pth", ".pt")):
+        from hyvideo_prfl_tpu.utils import convert_encoders as ce
+        from scripts.convert_weights import _load_torch_state
+
+        return ce.vae_torch_to_flax(_load_torch_state(path),
+                                    vae_mod.VAEConfig())
+    return ck.load_orbax(path)
+
+
+def _load_clip_params(path):
+    from hyvideo_prfl_tpu.utils import checkpoint as ck
+
+    if path.endswith((".pth", ".pt")):
+        from hyvideo_prfl_tpu.utils import convert_encoders as ce
+        from scripts.convert_weights import _load_torch_state
+
+        return ce.clip_torch_to_flax(_load_torch_state(path),
+                                     clip_mod.vit_h_14())
+    return ck.load_clip_visual(path)
+
+
 def main(config):
     logging.basicConfig(level=logging.INFO)
-    out_dir = config.get("save_dir", "latent_cache")
+    c = resolve_config(config)
+    out_dir = c["save_dir"]
     lat_dir = os.path.join(out_dir, "latents")
     meta_dir = os.path.join(out_dir, "meta_v1")
     os.makedirs(lat_dir, exist_ok=True)
     os.makedirs(meta_dir, exist_ok=True)
 
-    height = int(config.get("height", 480))
-    width = int(config.get("width", 832))
-    num_frames = int(config.get("num_frames", 81))
-    fps = config.get("fps", 16)
+    num_frames = c["num_frames"]
+    fps = c["fps"]
 
-    vae_path = config.get_path("extra_model.vae.params_path")
+    vae_path = c["vae_path"]
     if not vae_path or not os.path.exists(vae_path):
         logging.error(
-            "VAE params not found (extra_model.vae.params_path). "
+            "VAE params not found (extra_model.vae.params_path / vae_path). "
             "Place converted encoder weights there to run preprocessing."
         )
         return 1
 
-    from hyvideo_prfl_tpu.utils import checkpoint as ck
-
     vae_cfg = vae_mod.VAEConfig()
     vae = vae_mod.WanVAE(vae_cfg)
-    vae_params = ck.load_orbax(vae_path)
+    vae_params = _load_vae_params(vae_path)
     clip_cfg = clip_mod.vit_h_14()
     clip_tower = clip_mod.CLIPVisionTower(clip_cfg)
-    clip_params = ck.load_clip_visual(
-        config.get_path("extra_model.image_encoder.params_path"))
+    clip_params = _load_clip_params(c["clip_path"])
 
     # single-pass preprocess (reference gen_wanx_latent.py:301-309): T5
     # captions encode in the same run when weights are configured;
     # otherwise encode_captions.py fills the manifests in later
     from scripts.encode_captions import make_t5_embedder
 
-    embed = make_t5_embedder(
-        config.get_path("extra_model.text_encoder.params_path") or "",
-        config.get_path("extra_model.text_encoder.tokenizer")
-        or "google/umt5-xxl",
-        int(config.get_path("extra_model.text_encoder.t5_text_len") or 512),
-    )
+    embed = make_t5_embedder(c["t5_path"], c["tokenizer"], c["text_len"])
 
-    with open(config["input_json"]) as f:
+    with open(c["input_json"]) as f:
         data = json.load(f)
 
     for clip_data in data:
@@ -113,7 +164,17 @@ def main(config):
             continue
         try:
             frames, _ = read_video(clip_data["video_path"],
-                                   num_frames=num_frames, target_fps=fps)
+                                   num_frames=num_frames, target_fps=fps,
+                                   start_frame=c["start_idx"])
+            if c["resolution"]:
+                # reference sizing: per-clip aspect, min side = resolution,
+                # 32-aligned, capped (gen_wanx_latent.py:117-149)
+                height, width = target_size_for(
+                    frames.shape[1], frames.shape[2],
+                    c["resolution"], c["aspect_ratio"])
+            else:
+                height = int(c["height"] or 480)
+                width = int(c["width"] or 832)
             frames = resize_center_crop(frames, height, width)
             video = to_model_range(frames)
             latents, f1_lat, img_clip = encode_clip_data(
