@@ -163,6 +163,15 @@ def main():
         }
     except Exception:
         pass
+    try:
+        # measured (not scaled) sp=8 batch-1 composition — the reference's
+        # 51.11 s row is global batch 1 on 8 GPUs (EST_SP=8 run)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_COMPOSED_SP8.json")) as f:
+            c8 = json.load(f)
+        composed["composed_sp8_batch1_measured_s"] = c8["composed_step_s"]
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "prfl_step_seconds_0.6b_3120tok_40step_1chip",
         "value": round(sec, 3),
