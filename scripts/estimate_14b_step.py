@@ -297,6 +297,21 @@ def main():
         "projected_v5p16_s": round(t_step_b1 * our_peak_pf / (16 * 459e12),
                                    2),
     }
+    # contention self-check: the shared remote TPU service can be busy
+    # enough to corrupt timings (observed: fwd+bwd < fwd, AdamW 6x off its
+    # bandwidth roofline, "MFU" > 100%). Mark such runs invalid rather
+    # than publishing them.
+    suspicious = []
+    if t_fl_dev_fb < t_fl_dev_f or t_blk_fb < t_blk_f:
+        suspicious.append("fwd+bwd measured faster than fwd")
+    if out["composed_mfu_pct_v5e"] > 100:
+        suspicious.append("composed MFU > 100%")
+    if t_opt_proxy > 0.025:  # 0.125B fp32 AdamW roofline ~5 ms; 5x margin
+        suspicious.append(f"AdamW proxy {t_opt_proxy * 1e3:.1f} ms >> roofline")
+    if suspicious:
+        out["suspect_contention"] = suspicious
+        print(json.dumps({"warning": "timings look contended; rerun",
+                          "reasons": suspicious}), flush=True)
     print(json.dumps(out), flush=True)
     name = "BENCH_COMPOSED.json" if SP == 4 else f"BENCH_COMPOSED_SP{SP}.json"
     with open(os.path.join(os.path.dirname(os.path.dirname(
