@@ -25,20 +25,49 @@ class TrainState:
 
 
 def _lr_schedule(learning_rate, lr_scheduler, lr_warmup_steps,
-                 max_train_steps):
-    if lr_scheduler == "constant":
-        sched = optax.constant_schedule(learning_rate)
-        if lr_warmup_steps:
-            sched = optax.join_schedules(
-                [optax.linear_schedule(0.0, learning_rate, lr_warmup_steps), sched],
-                [lr_warmup_steps],
-            )
-        return sched
-    if lr_scheduler == "linear":
-        return optax.linear_schedule(learning_rate, 0.0, max_train_steps)
-    if lr_scheduler == "cosine":
-        return optax.cosine_decay_schedule(learning_rate, max_train_steps)
-    raise ValueError(f"unknown lr_scheduler {lr_scheduler}")
+                 max_train_steps, lr_num_cycles=1, lr_power=1.0):
+    """diffusers get_scheduler surface (the reference passes num_cycles/
+    power from optimizer.lr_num_cycles / lr_power — train_prfl.py:479-505):
+    constant, constant_with_warmup, linear, cosine, cosine_with_restarts,
+    polynomial. Warmup (linear 0 -> lr over lr_warmup_steps) applies to
+    every type, as in diffusers."""
+    warm = int(lr_warmup_steps or 0)
+    decay_steps = max(1, max_train_steps - warm)
+
+    if lr_scheduler in ("constant", "constant_with_warmup"):
+        body = optax.constant_schedule(learning_rate)
+    elif lr_scheduler == "linear":
+        body = optax.linear_schedule(learning_rate, 0.0, decay_steps)
+    elif lr_scheduler == "cosine":
+        # diffusers: 0.5*(1+cos(pi*2*num_cycles*progress)), default 0.5
+        # cycles = one half-cosine to zero
+        cycles = float(lr_num_cycles) if lr_num_cycles else 0.5
+
+        def body(step):
+            p = jnp.clip(step / decay_steps, 0.0, 1.0)
+            return learning_rate * jnp.maximum(
+                0.0, 0.5 * (1.0 + jnp.cos(jnp.pi * 2.0 * cycles * p)))
+    elif lr_scheduler == "cosine_with_restarts":
+        cycles = max(1, int(lr_num_cycles))
+
+        def body(step):
+            p = jnp.clip(step / decay_steps, 0.0, 1.0)
+            return learning_rate * jnp.maximum(
+                0.0, 0.5 * (1.0 + jnp.cos(jnp.pi * ((cycles * p) % 1.0))))
+    elif lr_scheduler == "polynomial":
+        lr_end = 1e-7  # diffusers default
+
+        def body(step):
+            p = jnp.clip(step / decay_steps, 0.0, 1.0)
+            return (learning_rate - lr_end) * (1.0 - p) ** lr_power + lr_end
+    else:
+        raise ValueError(f"unknown lr_scheduler {lr_scheduler}")
+
+    if not warm:
+        return body
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, learning_rate, warm), body], [warm]
+    )
 
 
 def make_optimizer(
@@ -49,6 +78,8 @@ def make_optimizer(
     weight_decay: float = 0.01,
     lr_scheduler: str = "constant",
     lr_warmup_steps: int = 0,
+    lr_num_cycles: int = 1,
+    lr_power: float = 1.0,
     max_train_steps: int = 1_000_000,
     max_grad_norm: float = 1.0,
     gradient_accumulation_steps: int = 1,
@@ -63,7 +94,8 @@ def make_optimizer(
 
     def adamw(lr):
         return optax.adamw(
-            _lr_schedule(lr, lr_scheduler, lr_warmup_steps, max_train_steps),
+            _lr_schedule(lr, lr_scheduler, lr_warmup_steps, max_train_steps,
+                         lr_num_cycles=lr_num_cycles, lr_power=lr_power),
             b1=adam_beta1, b2=adam_beta2, eps=adam_epsilon,
             weight_decay=weight_decay,
         )

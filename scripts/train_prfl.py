@@ -117,6 +117,8 @@ def main(config, max_steps=None):
         weight_decay=config.optimizer.weight_decay,
         lr_scheduler=config.optimizer.lr_scheduler,
         lr_warmup_steps=config.optimizer.lr_warmup_steps,
+        lr_num_cycles=int(config.optimizer.get("lr_num_cycles", 1)),
+        lr_power=float(config.optimizer.get("lr_power", 1.0)),
         max_train_steps=config.optimizer.max_train_steps,
         gradient_accumulation_steps=config.train.gradient_accumulation_steps,
     )

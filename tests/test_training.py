@@ -364,3 +364,39 @@ def test_offload_opt_state_step():
                                np.asarray(s2.params["params"]["w"]),
                                atol=1e-7)
     assert abs(float(g1) - float(g2)) < 1e-6
+
+
+def test_lr_schedule_diffusers_surface():
+    """constant_with_warmup / polynomial / cosine(+restarts) match the
+    diffusers get_scheduler formulas the reference passes num_cycles/power
+    into (train_prfl.py:479-505)."""
+    import numpy as np
+
+    from hyvideo_prfl_tpu.training.common import _lr_schedule
+
+    lr = 1e-3
+    s = _lr_schedule(lr, "constant_with_warmup", 10, 100)
+    np.testing.assert_allclose(float(s(5)), lr * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(s(50)), lr, rtol=1e-6)
+
+    s = _lr_schedule(lr, "polynomial", 0, 100, lr_power=2.0)
+    np.testing.assert_allclose(float(s(50)),
+                               (lr - 1e-7) * 0.25 + 1e-7, rtol=1e-6)
+    np.testing.assert_allclose(float(s(100)), 1e-7, rtol=1e-6)
+
+    # cosine with the reference configs' num_cycles=1: full cosine period
+    s = _lr_schedule(lr, "cosine", 0, 100, lr_num_cycles=1)
+    np.testing.assert_allclose(float(s(0)), lr, rtol=1e-6)
+    np.testing.assert_allclose(float(s(50)), 0.0, atol=1e-9)
+
+    # hard restarts: 2 cycles -> lr back at the cycle boundary
+    s = _lr_schedule(lr, "cosine_with_restarts", 0, 100, lr_num_cycles=2)
+    np.testing.assert_allclose(float(s(25)), lr * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(s(51)),
+                               lr * 0.5 * (1 + np.cos(np.pi * ((2 * 0.51) % 1))),
+                               rtol=1e-4)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        _lr_schedule(lr, "nope", 0, 100)
