@@ -78,7 +78,7 @@ def _fwd_kernel(x_ref, s_ref, t_ref, o_ref, *, eps, inv_d):
     xc = x - mean
     var = jnp.sum(xc * xc, axis=1, keepdims=True) * inv_d
     yn = xc * jax.lax.rsqrt(var + eps)
-    o_ref[0] = (yn * s_ref[:] + t_ref[:]).astype(o_ref.dtype)
+    o_ref[0] = (yn * s_ref[0] + t_ref[0]).astype(o_ref.dtype)
 
 
 def _bwd_kernel(x_ref, s_ref, g_ref, dx_ref, ds_ref, dt_ref,
@@ -90,7 +90,7 @@ def _bwd_kernel(x_ref, s_ref, g_ref, dx_ref, ds_ref, dt_ref,
     var = jnp.sum(xc * xc, axis=1, keepdims=True) * inv_d
     rstd = jax.lax.rsqrt(var + eps)
     yn = xc * rstd
-    dyn = g * s_ref[:]
+    dyn = g * s_ref[0]
     m1 = jnp.sum(dyn, axis=1, keepdims=True) * inv_d
     m2 = jnp.sum(dyn * yn, axis=1, keepdims=True) * inv_d
     dx_ref[0] = (rstd * (dyn - m1 - yn * m2)).astype(dx_ref.dtype)
@@ -121,32 +121,39 @@ def _interpret() -> bool:
 def _fwd_call(x, s, t, eps, out_dtype, bl):
     b, l, d = x.shape
     grid = (b, pl.cdiv(l, bl))
+    # s/t carry a singleton middle axis so their block's last-two dims are
+    # (1, d) of a (b, 1, d) array — a (1, d) block of a (b, d) array is
+    # REJECTED by Mosaic whenever b > 1 (neither 8-divisible nor full;
+    # caught on hardware at batch 2, the batched-CFG serving path)
+    s3 = s.reshape(b, 1, d)
+    t3 = t.reshape(b, 1, d)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, eps=eps, inv_d=1.0 / d),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bl, d), lambda b_, i: (b_, i, 0)),
-            pl.BlockSpec((1, d), lambda b_, i: (b_, 0)),
-            pl.BlockSpec((1, d), lambda b_, i: (b_, 0)),
+            pl.BlockSpec((1, 1, d), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda b_, i: (b_, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bl, d), lambda b_, i: (b_, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, l, d), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=_interpret(),
-    )(x, s, t)
+    )(x, s3, t3)
 
 
 def _bwd_call(x, s, g, eps, bl):
     b, l, d = x.shape
     nblk = pl.cdiv(l, bl)
     grid = (b, nblk)
+    s3 = s.reshape(b, 1, d)  # see _fwd_call: (1, d) blocks of (b, d) fail b>1
     dx, ds_part, dt_part = pl.pallas_call(
         functools.partial(_bwd_kernel, eps=eps, inv_d=1.0 / d, bl=bl, l=l),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bl, d), lambda b_, i: (b_, i, 0)),
-            pl.BlockSpec((1, d), lambda b_, i: (b_, 0)),
+            pl.BlockSpec((1, 1, d), lambda b_, i: (b_, 0, 0)),
             pl.BlockSpec((1, bl, d), lambda b_, i: (b_, i, 0)),
         ],
         out_specs=[
@@ -166,7 +173,7 @@ def _bwd_call(x, s, g, eps, bl):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=_interpret(),
-    )(x, s, g)
+    )(x, s3, g)
     return dx, ds_part, dt_part
 
 

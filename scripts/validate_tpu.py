@@ -168,6 +168,27 @@ def main():
     for name, a, r in zip(("dx", "ds", "dt"), gs_f, gs_r):
         check(f"stream_ln_ragged_bwd_{name}", a, r, atol=5e-2, rtol=2e-2)
 
+    # batch > 1 (the batched-CFG serving path): a (1, d) s/t block of a
+    # (b, d) array is rejected by Mosaic when b > 1 — caught on hardware
+    # at b=2; the kernel now feeds s/t as (b, 1, d)
+    xb = jax.random.normal(jax.random.PRNGKey(17), (2, lr, dim), jnp.float32)
+    sb = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(18), (2, dim))
+    tb = 0.1 * jax.random.normal(jax.random.PRNGKey(19), (2, dim))
+    fused_b2 = jax.jit(lambda x, s, t: stream.ln_scale_shift(x, s, t))(
+        xb, sb, tb)
+    check("stream_ln_batch2_fwd", fused_b2,
+          stream._xla_ref(xb, sb, tb, 1e-6, jnp.bfloat16), atol=2e-2,
+          rtol=2e-2)
+    gb = jax.random.normal(jax.random.PRNGKey(20), (2, lr, dim), jnp.float32)
+    loss_b = lambda x, s, t: jnp.sum(
+        stream.ln_scale_shift(x, s, t).astype(jnp.float32) * gb)
+    loss_rb = lambda x, s, t: jnp.sum(
+        stream._xla_ref(x, s, t, 1e-6, jnp.bfloat16).astype(jnp.float32) * gb)
+    gsb = jax.jit(jax.grad(loss_b, argnums=(0, 1, 2)))(xb, sb, tb)
+    gsrb = jax.jit(jax.grad(loss_rb, argnums=(0, 1, 2)))(xb, sb, tb)
+    for name, a, r in zip(("dx", "ds", "dt"), gsb, gsrb):
+        check(f"stream_ln_batch2_bwd_{name}", a, r, atol=5e-2, rtol=2e-2)
+
     # ---- 9: ragged-grid qknorm_rope ----------------------------------------
     cos_r, sin_r = rope_tables_rolled((4, 11, 15), d)  # 660 tokens
     xr = jax.random.normal(jax.random.PRNGKey(16), (1, lr, dim), jnp.bfloat16)
