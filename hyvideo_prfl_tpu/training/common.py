@@ -39,9 +39,12 @@ def _lr_schedule(learning_rate, lr_scheduler, lr_warmup_steps,
     elif lr_scheduler == "linear":
         body = optax.linear_schedule(learning_rate, 0.0, decay_steps)
     elif lr_scheduler == "cosine":
-        # diffusers: 0.5*(1+cos(pi*2*num_cycles*progress)), default 0.5
-        # cycles = one half-cosine to zero
-        cycles = float(lr_num_cycles) if lr_num_cycles else 0.5
+        # diffusers get_scheduler only forwards num_cycles to
+        # cosine_with_restarts; plain cosine always runs
+        # get_cosine_schedule_with_warmup's default num_cycles=0.5 —
+        # one half-cosine decaying to 0 at max_train_steps. lr_num_cycles
+        # is deliberately ignored here (matching diffusers).
+        cycles = 0.5
 
         def body(step):
             p = jnp.clip(step / decay_steps, 0.0, 1.0)
@@ -52,8 +55,12 @@ def _lr_schedule(learning_rate, lr_scheduler, lr_warmup_steps,
 
         def body(step):
             p = jnp.clip(step / decay_steps, 0.0, 1.0)
-            return learning_rate * jnp.maximum(
-                0.0, 0.5 * (1.0 + jnp.cos(jnp.pi * ((cycles * p) % 1.0))))
+            # diffusers returns 0 once progress >= 1.0 (steps at/after
+            # max_train_steps must not train at peak LR).
+            return jnp.where(
+                p >= 1.0, 0.0,
+                learning_rate * jnp.maximum(
+                    0.0, 0.5 * (1.0 + jnp.cos(jnp.pi * ((cycles * p) % 1.0)))))
     elif lr_scheduler == "polynomial":
         lr_end = 1e-7  # diffusers default
 

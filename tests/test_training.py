@@ -384,17 +384,22 @@ def test_lr_schedule_diffusers_surface():
                                (lr - 1e-7) * 0.25 + 1e-7, rtol=1e-6)
     np.testing.assert_allclose(float(s(100)), 1e-7, rtol=1e-6)
 
-    # cosine with the reference configs' num_cycles=1: full cosine period
+    # plain cosine ignores lr_num_cycles (diffusers only forwards it to
+    # cosine_with_restarts): half-cosine decay, 0 at the end, lr/2 at mid.
     s = _lr_schedule(lr, "cosine", 0, 100, lr_num_cycles=1)
     np.testing.assert_allclose(float(s(0)), lr, rtol=1e-6)
-    np.testing.assert_allclose(float(s(50)), 0.0, atol=1e-9)
+    np.testing.assert_allclose(float(s(50)), 0.5 * lr, rtol=1e-6)
+    np.testing.assert_allclose(float(s(100)), 0.0, atol=1e-9)
 
-    # hard restarts: 2 cycles -> lr back at the cycle boundary
+    # hard restarts: 2 cycles -> lr back at the cycle boundary; 0 at/after
+    # the end of the schedule (diffusers returns 0 once progress >= 1.0).
     s = _lr_schedule(lr, "cosine_with_restarts", 0, 100, lr_num_cycles=2)
     np.testing.assert_allclose(float(s(25)), lr * 0.5, rtol=1e-6)
     np.testing.assert_allclose(float(s(51)),
                                lr * 0.5 * (1 + np.cos(np.pi * ((2 * 0.51) % 1))),
                                rtol=1e-4)
+    np.testing.assert_allclose(float(s(100)), 0.0, atol=1e-9)
+    np.testing.assert_allclose(float(s(150)), 0.0, atol=1e-9)
 
     import pytest
 
