@@ -41,6 +41,7 @@ import numpy as np
 from ..ops.attention import dot_product_attention
 from ..ops.qknorm_rope import rmsnorm_only, rmsnorm_rope
 from ..ops.stream import ln_scale_shift
+from ..parallel import sharding as sharding_mod
 from ..parallel.sharding import ShardingPolicy, constrain
 from .rope import apply_rope_rolled, rope_tables_rolled
 
@@ -161,6 +162,100 @@ def _cast_block_dense_params(dtype, tree):
         for path, leaf in flat.items()
     }
     return flax.traverse_util.unflatten_dict(out)
+
+
+def patchify(x: jnp.ndarray, patch_size: Tuple[int, int, int]):
+    """[B, F, H, W, C] video -> ([B, L, cells, C] token-cell layout, grid).
+
+    cells = pt*ph*pw; flattening order matches the in-model patch embedding
+    (position-major, channel-fastest), so `tokens.reshape(b, L, cells*C)` is
+    bit-identical to patch-embedding the video directly, and concatenating
+    two token-cell tensors on the channel axis reproduces a channel concat
+    done in video layout (the i2v mask+cond cat, model.py:574-575).
+
+    Why this exists: the sampling/rollout scans carry the solver state in
+    THIS layout so the (ring, sp)-token sharding never has to convert to the
+    W-sharded video layout inside the loop — the conversion SPMD cannot
+    express (it falls back to "involuntary full rematerialization",
+    replicating the full latent every denoising step). Video layout now
+    appears exactly twice per sampling chain: patchify once before the scan,
+    unpatchify once after.
+    """
+    b, f, hh, ww, c = x.shape
+    pt, ph, pw = patch_size
+    gf, gh, gw = f // pt, hh // ph, ww // pw
+    xp = x.reshape(b, gf, pt, gh, ph, gw, pw, c)
+    xp = xp.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+        b, gf * gh * gw, pt * ph * pw, c)
+    return xp, (gf, gh, gw)
+
+
+def unpatchify(tokens: jnp.ndarray, grid: Tuple[int, int, int],
+               patch_size: Tuple[int, int, int]) -> jnp.ndarray:
+    """[B, L, cells, C] token-cell layout -> [B, F, H, W, C] video.
+
+    Exact inverse of `patchify`; identical math to the in-model unpatchify
+    exit (model.py:704-712 unpatchify)."""
+    b, _, _, c = tokens.shape
+    gf, gh, gw = grid
+    pt, ph, pw = patch_size
+    out = tokens.reshape(b, gf, gh, gw, pt, ph, pw, c)
+    return out.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
+        b, gf * pt, gh * ph, gw * pw, c)
+
+
+def _batch_only(policy):
+    """P(batch_axis) — every non-batch dim replicated (trailing dims of a
+    PartitionSpec are unsharded)."""
+    return jax.sharding.PartitionSpec(policy.token_cells[0])
+
+
+def patchify_sharded(x: jnp.ndarray, patch_size, policy):
+    """`patchify` with the mesh-safe layout discipline.
+
+    The conversion runs on a sequence-REPLICATED intermediate (batch stays
+    on "data") and only the final constraint takes the token sharding:
+    replicated -> sharded is a free local slice, whereas reshaping a
+    W-sharded video directly into an L-sharded token layout is the
+    transform SPMD can only do by involuntary full rematerialization.
+    EVERY intermediate is pinned batch-only so the partitioner cannot
+    back-propagate the token sharding into the reshape/transpose chain
+    (observed: it invents a transposed-device-order (gf, gh) sharding for
+    the 8D intermediate and falls back to full remat). Call ONCE per
+    sampling/rollout chain, outside the scan."""
+    if policy is None:
+        return patchify(x, patch_size)
+    ce = sharding_mod.constrain_even
+    rep = _batch_only(policy)
+    b, f, hh, ww, c = x.shape
+    pt, ph, pw = patch_size
+    gf, gh, gw = f // pt, hh // ph, ww // pw
+    x = ce(x, rep)
+    xp = ce(x.reshape(b, gf, pt, gh, ph, gw, pw, c), rep)
+    xp = ce(xp.transpose(0, 1, 3, 5, 2, 4, 6, 7), rep)
+    tokens = ce(xp.reshape(b, gf * gh * gw, pt * ph * pw, c), rep)
+    tokens = ce(tokens, policy.token_cells)
+    return tokens, (gf, gh, gw)
+
+
+def unpatchify_sharded(tokens: jnp.ndarray, grid, patch_size, policy):
+    """`unpatchify` with the mesh-safe layout discipline: all_gather the
+    sequence shards (batch stays on "data"), reshape locally with every
+    intermediate pinned batch-only, re-partition to the W-sharded video
+    layout. One explicit gather instead of SPMD's replicate-per-occurrence
+    fallback. Call ONCE, outside the scan."""
+    if policy is None:
+        return unpatchify(tokens, grid, patch_size)
+    ce = sharding_mod.constrain_even
+    rep = _batch_only(policy)
+    b, _, _, c = tokens.shape
+    gf, gh, gw = grid
+    pt, ph, pw = patch_size
+    tokens = ce(tokens, rep)
+    out = ce(tokens.reshape(b, gf, gh, gw, pt, ph, pw, c), rep)
+    out = ce(out.transpose(0, 1, 4, 2, 5, 3, 6, 7), rep)
+    video = ce(out.reshape(b, gf * pt, gh * ph, gw * pw, c), rep)
+    return ce(video, policy.video)
 
 
 def sinusoidal_embedding_1d(dim: int, position: jnp.ndarray) -> jnp.ndarray:
@@ -452,13 +547,18 @@ class WanModel(nn.Module):
     __call__(x, t, context, y=None, clip_fea=None, output_features=False,
              selected_layers=(), num_layers_override=None, policy=None)
 
-    x: [B, F, H, W, in_dim(part)] latent video, channel-last.
+    x: [B, F, H, W, in_dim(part)] latent video, channel-last — OR the
+       token-cell layout [B, L, cells, in_dim(part)] from `patchify` with
+       `grid` passed (the sampling/rollout scans use this so the solver
+       carry never changes layout inside the loop; see patchify docstring).
     t: [B] or scalar timesteps.
     context: [B, text_len, text_dim] padded text embeddings.
     y: optional conditioning latents [B, F, H, W, C_y], channel-concatenated
        (i2v mask+cond; reference cats on channel dim, model.py:574-575).
-    Returns [B, F, H, W, out_dim] fp32, or stacked features
-    [num_selected, B, L, dim] when output_features=True.
+       Must be in the same layout as x (token-cell when x is).
+    Returns [B, F, H, W, out_dim] fp32 (or [B, L, cells, out_dim] in token
+    mode), or stacked features [num_selected, B, L, dim] when
+    output_features=True.
     """
 
     cfg: WanConfig
@@ -478,22 +578,33 @@ class WanModel(nn.Module):
         skip_blocks=None,
         residual_in=None,
         output_residual: bool = False,
+        grid: Optional[Tuple[int, int, int]] = None,
     ):
         cfg, policy = self.cfg, self.policy
         cd = cfg.compute_dtype
+        token_mode = x.ndim == 4
         if y is not None:
+            # token-cell concat on the channel axis reproduces the video-
+            # layout channel concat exactly (see patchify docstring)
             x = jnp.concatenate([x, y], axis=-1)
-        b, f, hh, ww, c_in = x.shape
         pt, ph, pw = cfg.patch_size
-        gf, gh, gw = f // pt, hh // ph, ww // pw
-        grid = (gf, gh, gw)
-        seq_len = gf * gh * gw
+        if token_mode:
+            assert grid is not None, "token-layout input requires grid"
+            gf, gh, gw = grid
+            b, seq_len, cells, c_in = x.shape
+            assert cells == pt * ph * pw and seq_len == gf * gh * gw
+            xp = x.reshape(b, seq_len, cells * c_in)
+        else:
+            b, f, hh, ww, c_in = x.shape
+            gf, gh, gw = f // pt, hh // ph, ww // pw
+            grid = (gf, gh, gw)
+            seq_len = gf * gh * gw
 
-        # --- patch embedding: reshape + Dense (== stride=kernel Conv3d) ---
-        xp = x.reshape(b, gf, pt, gh, ph, gw, pw, c_in)
-        xp = xp.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
-            b, seq_len, pt * ph * pw * c_in
-        )
+            # --- patch embedding: reshape + Dense (== stride=kernel Conv3d)
+            xp = x.reshape(b, gf, pt, gh, ph, gw, pw, c_in)
+            xp = xp.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+                b, seq_len, pt * ph * pw * c_in
+            )
         h = _dense("patch_embedding", cfg.dim, cd)(xp.astype(cd))
         h = h.astype(cfg.residual_dtype)
         h = constrain(h, policy, "tokens")
@@ -527,6 +638,14 @@ class WanModel(nn.Module):
 
         # --- RoPE tables (host-precomputed, roll formulation) ---
         cos, sin = rope_tables_rolled(grid, cfg.head_dim)
+        if policy is not None:
+            # pin the tables REPLICATED once, outside the block scan: left
+            # unpinned, SPMD back-propagates attention-reshape shardings
+            # onto the broadcast tables inside every layer and falls back to
+            # involuntary full rematerialization (observed under
+            # hybrid_full FSDP). They are small (~10 MB bf16 at 75.6k).
+            cos = jax.lax.with_sharding_constraint(cos, policy.rope_tables)
+            sin = jax.lax.with_sharding_constraint(sin, policy.rope_tables)
 
         # --- blocks under scan with stacked params ---
         n_layers = num_layers_override or cfg.num_layers
@@ -617,11 +736,17 @@ class WanModel(nn.Module):
 
         # --- head + unpatchify ---
         out = Head(cfg, name="head")(h, e)
-        out = out.reshape(b, gf, gh, gw, pt, ph, pw, cfg.out_dim)
-        out = out.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
-            b, gf * pt, gh * ph, gw * pw, cfg.out_dim
-        )
-        out = constrain(out, policy, "video")
+        if token_mode:
+            # stay token-major: the caller unpatchifies once, outside any
+            # scan, so SPMD never resharded token->video inside the loop
+            out = out.reshape(b, seq_len, pt * ph * pw, cfg.out_dim)
+            out = constrain(out, policy, "token_cells")
+        else:
+            out = out.reshape(b, gf, gh, gw, pt, ph, pw, cfg.out_dim)
+            out = out.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
+                b, gf * pt, gh * ph, gw * pw, cfg.out_dim
+            )
+            out = constrain(out, policy, "video")
         out = out.astype(jnp.float32)
         if output_residual:
             # e (fp32 time embed) is TeaCache's modulation input

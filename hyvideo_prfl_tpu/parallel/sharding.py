@@ -86,6 +86,18 @@ class ShardingPolicy:
     # [B, F, H, W, C] video tensors: W on sp (latent frame counts are 4n+1
     # and rarely divisible by sp; W is stride-8-aligned and always divides)
     video: P = P(DATA_AXIS, None, None, SP_AXIS, None)
+    # [B, L, cells, C] token-cell latents (models.wan_dit.patchify): the
+    # solver-carry layout of the sampling/rollout scans — tokens on sp like
+    # the in-block stream, so the loop body has NO layout boundary (the
+    # video<->token reshard SPMD can only do by full rematerialization)
+    token_cells: P = P(DATA_AXIS, SP_AXIS, None, None)
+    # [L, Dh] RoPE cos/sin tables: REPLICATED. They are small (~10 MB bf16
+    # at 75.6k tokens) and broadcast against the token stream; leaving them
+    # unpinned lets SPMD back-propagate attention-reshape shardings onto the
+    # broadcast and fall back to involuntary full rematerialization per
+    # layer (observed under hybrid_full FSDP), while token-sharding them
+    # creates MORE reshard boundaries in the backward.
+    rope_tables: P = P(None, None)
     # [B, ...] per-sample scalars/vectors
     batch: P = P(DATA_AXIS)
     # use the explicit shard_map Ulysses path in self-attention instead of
@@ -106,6 +118,7 @@ def usp_policy() -> ShardingPolicy:
         attn_heads=P(DATA_AXIS, None, SP_AXIS, None),
         attn_heads_sp_tokens=P(DATA_AXIS, seq, None, None),
         video=P(DATA_AXIS, None, None, seq, None),
+        token_cells=P(DATA_AXIS, seq, None, None),
         usp=True,
     )
 
@@ -117,41 +130,69 @@ def constrain(x, policy: Optional[ShardingPolicy], spec_name: str):
     return jax.lax.with_sharding_constraint(x, getattr(policy, spec_name))
 
 
-def opt_state_shardings(mesh: Mesh, param_shapes, param_shardings, tx):
-    """(device, pinned_host) sharding trees for tx.init(params)' state.
-
-    Adam moments mirror the parameter tree: leaves matching a parameter
-    (shape, dtype) reuse its FSDP sharding; scalars/counters replicate.
-    The host tree is the same shardings with memory_kind='pinned_host' —
-    the storage side of optimizer-state offload (SURVEY 5.7: the 14B HBM
-    budget keeps only params + activations resident; moments stream in
-    per step)."""
-    import jax
-
-    opt_shapes = jax.eval_shape(tx.init, param_shapes)
-    flat_s = jax.tree_util.tree_leaves(param_shapes)
-    flat_sh = jax.tree_util.tree_leaves(param_shardings)
-    by_shape = {(s.shape, s.dtype): sh for s, sh in zip(flat_s, flat_sh)}
-
-    def dev_for(s):
-        return by_shape.get((s.shape, s.dtype), NamedSharding(mesh, P()))
-
-    dev = jax.tree.map(dev_for, opt_shapes)
-    host = jax.tree.map(lambda sh: sh.with_memory_kind("pinned_host"), dev)
-    return dev, host
+def prune_uneven(x, spec: P) -> P:
+    """`spec` with entries dropped on dims the current mesh cannot divide
+    evenly (e.g. batch 1 constrained to a data=2 axis — a single serving
+    sample on a multi-replica mesh). Eager with_sharding_constraint rejects
+    uneven shardings outright, and even under jit an uneven boundary
+    sharding buys nothing; replicating that dim is the graceful fallback.
+    No-op when no mesh is set."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or not mesh.shape:
+        return spec
+    out = []
+    for dim, part in zip(x.shape, tuple(spec) + (None,) * (x.ndim - len(spec))):
+        if part is None:
+            out.append(None)
+            continue
+        n = 1
+        for a in (part if isinstance(part, tuple) else (part,)):
+            n *= mesh.shape.get(a, 1)
+        out.append(part if n and dim % n == 0 else None)
+    return P(*out)
 
 
-def fsdp_param_sharding(mesh: Mesh, params, min_size: int = 2 ** 16):
-    """FSDP-style NamedShardings for a param pytree.
+def constrain_even(x, spec: P):
+    """with_sharding_constraint, uneven dims degraded to replicated
+    (prune_uneven). The boundary-conversion helpers use this so they are
+    safe both inside jit and eagerly, at any batch size."""
+    return jax.lax.with_sharding_constraint(x, prune_uneven(x, spec))
 
-    Shards the largest axis of each tensor over all mesh devices (both axes
-    flattened), mirroring ZeRO-3's flat-parameter sharding
-    (fsdp_utils.py:86-96). Small tensors stay replicated.
-    """
-    n_dev = mesh.devices.size
+
+# FSDP strategy surface (reference fsdp_utils.py:86-101, config key
+# model.fsdp.fsdp_sharding_startegy [sic]): which mesh axes parameters and
+# optimizer moments shard over.
+#   full          — params + moments sharded over ALL devices (ZeRO-3).
+#                   Right on a single ICI slice; on a DCN-connected
+#                   multi-slice "data" axis every layer's weight all-gather
+#                   would cross DCN.
+#   hybrid_full   — params + moments sharded over the intra-slice "sp"/ICI
+#                   axis, REPLICATED across "data" (the reference's
+#                   HYBRID_SHARD): per-layer weight all-gathers ride ICI;
+#                   only the once-per-step gradient all-reduce crosses DCN.
+#   shard_grad_op — params replicated, moments (and hence the update
+#                   dataflow: grad reduce-scatter + param all-gather)
+#                   sharded over ALL devices (the reference's
+#                   SHARD_GRAD_OP / ZeRO-2).
+#   hybrid_zero2  — params replicated, moments sharded over "sp" only.
+#   none          — everything replicated (DDP / NO_SHARD).
+FSDP_STRATEGIES = ("full", "hybrid_full", "shard_grad_op", "hybrid_zero2",
+                   "none")
+_PARAM_AXES = {"full": (DATA_AXIS, SP_AXIS), "hybrid_full": (SP_AXIS,)}
+_MOMENT_AXES = {"full": (DATA_AXIS, SP_AXIS), "hybrid_full": (SP_AXIS,),
+                "shard_grad_op": (DATA_AXIS, SP_AXIS),
+                "hybrid_zero2": (SP_AXIS,)}
+
+
+def _fsdp_spec_fn(mesh: Mesh, axes, min_size: int):
+    """Largest-suitable-axis sharding rule over the given mesh axes."""
+    n_dev = 1
+    for a in axes:
+        n_dev *= mesh.shape[a]
+    axes = tuple(axes) if len(axes) > 1 else axes[0]
 
     def spec_for(x):
-        if x.size < min_size:
+        if x.size < min_size or n_dev == 1:
             return NamedSharding(mesh, P())
         shape = x.shape
         # broadcast-style params (any singleton dim, e.g. adaLN modulation
@@ -166,8 +207,62 @@ def fsdp_param_sharding(mesh: Mesh, params, min_size: int = 2 ** 16):
         for i in reversed(range(start, len(shape))):
             if shape[i] % n_dev == 0:
                 spec = [None] * len(shape)
-                spec[i] = (DATA_AXIS, SP_AXIS)
+                spec[i] = axes
                 return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
 
+    return spec_for
+
+
+def opt_state_shardings(mesh: Mesh, param_shapes, param_shardings, tx,
+                        strategy: str = "full", min_size: int = 2 ** 16):
+    """(device, pinned_host) sharding trees for tx.init(params)' state.
+
+    Adam moments mirror the parameter tree. Under "full"/"hybrid_full"
+    (and "none") a moment leaf matching a parameter (shape, dtype) reuses
+    that parameter's sharding; under the zero2-style strategies
+    ("shard_grad_op", "hybrid_zero2") params are replicated but moments
+    still shard (fsdp_utils.py SHARD_GRAD_OP: grads+opt state sharded,
+    weights gathered), so moment leaves get their own FSDP-style shardings
+    over the strategy's axes. The host tree is the same shardings with
+    memory_kind='pinned_host' — the storage side of optimizer-state offload
+    (SURVEY 5.7: the 14B HBM budget keeps only params + activations
+    resident; moments stream in per step)."""
+    import jax
+
+    opt_shapes = jax.eval_shape(tx.init, param_shapes)
+    flat_s = jax.tree_util.tree_leaves(param_shapes)
+    flat_sh = jax.tree_util.tree_leaves(param_shardings)
+    by_shape = {(s.shape, s.dtype): sh for s, sh in zip(flat_s, flat_sh)}
+    zero2 = strategy in ("shard_grad_op", "hybrid_zero2")
+    moment_spec = (_fsdp_spec_fn(mesh, _MOMENT_AXES[strategy], min_size)
+                   if zero2 else None)
+
+    def dev_for(s):
+        hit = by_shape.get((s.shape, s.dtype))
+        if hit is None:
+            return NamedSharding(mesh, P())
+        return moment_spec(s) if zero2 else hit
+
+    dev = jax.tree.map(dev_for, opt_shapes)
+    host = jax.tree.map(lambda sh: sh.with_memory_kind("pinned_host"), dev)
+    return dev, host
+
+
+def fsdp_param_sharding(mesh: Mesh, params, min_size: int = 2 ** 16,
+                        strategy: str = "full"):
+    """FSDP-style NamedShardings for a param pytree under a strategy
+    (FSDP_STRATEGIES above; reference fsdp_utils.py:86-101).
+
+    "full" shards the largest suitable axis of each tensor over all mesh
+    devices (both axes flattened), mirroring ZeRO-3's flat-parameter
+    sharding (fsdp_utils.py:86-96); "hybrid_full" shards over "sp" only;
+    zero2-style strategies and "none" replicate params (their moments
+    shard via opt_state_shardings). Small tensors stay replicated.
+    """
+    assert strategy in FSDP_STRATEGIES, (
+        f"unknown fsdp strategy {strategy!r}; expected {FSDP_STRATEGIES}")
+    if strategy not in _PARAM_AXES:  # zero2-style / none: replicated params
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+    spec_for = _fsdp_spec_fn(mesh, _PARAM_AXES[strategy], min_size)
     return jax.tree.map(spec_for, params)

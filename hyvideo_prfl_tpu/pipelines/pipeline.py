@@ -96,7 +96,7 @@ class WanPipeline:
         self.batch_cfg = batch_cfg
 
     def _velocity_cfg(self, x, t, context, context_null, guide_scale,
-                      y=None, clip_fea=None):
+                      y=None, clip_fea=None, grid=None):
         if self.batch_cfg:
             b = x.shape[0]
             x2 = jnp.concatenate([x, x], axis=0)
@@ -107,24 +107,42 @@ class WanPipeline:
             clip2 = (jnp.concatenate([clip_fea, clip_fea], axis=0)
                      if clip_fea is not None else None)
             out = self.model.apply(self.params, x2, t2, ctx2,
-                                   y=y2, clip_fea=clip2)
+                                   y=y2, clip_fea=clip2, grid=grid)
             cond, uncond = out[:b], out[b:]
         else:
             cond = self.model.apply(self.params, x, t, context,
-                                    y=y, clip_fea=clip_fea)
+                                    y=y, clip_fea=clip_fea, grid=grid)
             uncond = self.model.apply(self.params, x, t, context_null,
-                                      y=y, clip_fea=clip_fea)
+                                      y=y, clip_fea=clip_fea, grid=grid)
         return uncond + guide_scale * (cond - uncond)
+
+    def _to_tokens(self, video):
+        """Video -> token-cell solver layout, ONCE, outside the scan
+        (wan_dit.patchify_sharded docstring has the layout rationale)."""
+        return wan_dit.patchify_sharded(video, self.cfg.patch_size,
+                                        self.model.policy)
+
+    def _to_video(self, tokens, grid):
+        """Token-cell -> video, ONCE, outside the scan."""
+        return wan_dit.unpatchify_sharded(tokens, grid, self.cfg.patch_size,
+                                          self.model.policy)
 
     def sample(self, rng, latent_shape, context, context_null,
                gen: GenerateConfig, y=None, clip_fea=None) -> jnp.ndarray:
-        """Full denoising chain -> clean latents [B, F, H, W, C]."""
+        """Full denoising chain -> clean latents [B, F, H, W, C].
+
+        The scan carries the solver state in token-cell layout (see
+        wan_dit.patchify): noise is patchified once before the loop and the
+        result unpatchified once after, so no video<->token layout boundary
+        exists inside the compiled denoising loop."""
         noise = jax.random.normal(rng, latent_shape, jnp.float32)
+        noise_t, grid = self._to_tokens(noise)
+        y_t = (self._to_tokens(y)[0] if y is not None else None)
 
         def vel(x, t):
             return self._velocity_cfg(
                 x, t, context, context_null, gen.guide_scale,
-                y=y, clip_fea=clip_fea,
+                y=y_t, clip_fea=clip_fea, grid=grid,
             )
 
         if gen.sample_solver == "unipc":
@@ -132,8 +150,8 @@ class WanPipeline:
                 gen.sampling_steps, shift=gen.shift,
                 num_train_timesteps=gen.num_train_timesteps,
             )
-            x, _ = unipc.rollout(sched, vel, noise)
-            return x
+            x, _ = unipc.rollout(sched, vel, noise_t)
+            return self._to_video(x, grid)
         if gen.sample_solver in ("dpm++", "dpm"):
             from ..schedulers import dpm as dpm_mod
 
@@ -141,8 +159,8 @@ class WanPipeline:
                 gen.sampling_steps, shift=gen.shift,
                 num_train_timesteps=gen.num_train_timesteps,
             )
-            x, _ = dpm_mod.rollout(sched, vel, noise)
-            return x
+            x, _ = dpm_mod.rollout(sched, vel, noise_t)
+            return self._to_video(x, grid)
         if gen.sample_solver == "euler":
             sched = fm.inference_schedule(
                 gen.sampling_steps, shift=gen.shift,
@@ -152,7 +170,8 @@ class WanPipeline:
             def body(i, x):
                 return fm.euler_step(sched, vel(x, sched.timesteps[i]), x, i)
 
-            return jax.lax.fori_loop(0, sched.num_steps, body, noise)
+            x = jax.lax.fori_loop(0, sched.num_steps, body, noise_t)
+            return self._to_video(x, grid)
         raise ValueError(f"unknown solver {gen.sample_solver}")
 
     def sample_teacache(self, rng, latent_shape, context, context_null,
@@ -176,6 +195,8 @@ class WanPipeline:
             n, shift=gen.shift, num_train_timesteps=gen.num_train_timesteps)
 
         noise = jax.random.normal(rng, latent_shape, jnp.float32)
+        noise_t, grid = self._to_tokens(noise)
+        y_t = (self._to_tokens(y)[0] if y is not None else None)
         gate0 = tc.init_state(b, cfg.dim, seq)
         res0 = jnp.zeros((b, seq, cfg.dim), jnp.float32)
 
@@ -190,20 +211,21 @@ class WanPipeline:
                 x2 = jnp.concatenate([x, x], axis=0)
                 ctx2 = jnp.concatenate([context, context_null], axis=0)
                 res2 = jnp.concatenate([res_c, res_u], axis=0)
-                y2 = jnp.concatenate([y, y], axis=0) if y is not None else None
+                y2 = (jnp.concatenate([y_t, y_t], axis=0)
+                      if y_t is not None else None)
                 clip2 = (jnp.concatenate([clip_fea, clip_fea], axis=0)
                          if clip_fea is not None else None)
                 out, _, res_new = self.model.apply(
                     self.params, x2, jnp.full((2 * b,), t), ctx2,
-                    y=y2, clip_fea=clip2,
+                    y=y2, clip_fea=clip2, grid=grid,
                     skip_blocks=skip, residual_in=res2, output_residual=True)
                 cond, uncond = out[:b], out[b:]
                 res_c, res_u = res_new[:b], res_new[b:]
             else:
                 def fwd(ctx, res):
                     out, _, res_new = self.model.apply(
-                        self.params, x, t, ctx, y=y, clip_fea=clip_fea,
-                        skip_blocks=skip, residual_in=res,
+                        self.params, x, t, ctx, y=y_t, clip_fea=clip_fea,
+                        grid=grid, skip_blocks=skip, residual_in=res,
                         output_residual=True)
                     return out, res_new
 
@@ -214,8 +236,8 @@ class WanPipeline:
 
         # the SAME scan as sample() — solver stepping shared by construction
         x_final, _, _ = unipc_mod.rollout(
-            sched, vel, noise, extra_init=(gate0, res0, res0))
-        return x_final
+            sched, vel, noise_t, extra_init=(gate0, res0, res0))
+        return self._to_video(x_final, grid)
 
     def decode(self, latents):
         assert self.vae is not None, "pipeline built without a VAE"

@@ -111,10 +111,15 @@ class PavrmModel:
         return trainable, frozen
 
     def score(self, dit_params, q_params, m_params, noisy_latents, t,
-              text, y=None, clip_fea=None) -> jnp.ndarray:
-        """noisy latents -> reward logits [B, 1] (pre-sigmoid)."""
+              text, y=None, clip_fea=None, grid=None) -> jnp.ndarray:
+        """noisy latents -> reward logits [B, 1] (pre-sigmoid).
+
+        noisy_latents may be video [B,F,H,W,C] or token-cell [B,L,cells,C]
+        with `grid` (the PRFL refl path keeps the whole rollout+reward chain
+        token-major; feature taps are token-major either way)."""
         feats = self.dit.apply(
             dit_params, noisy_latents, t, text, y=y, clip_fea=clip_fea,
+            grid=grid,
             output_features=True, selected_layers=self.pc.feature_layer,
         )
         pooled = rw.pool_features(

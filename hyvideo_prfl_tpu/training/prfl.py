@@ -62,6 +62,7 @@ class PrflModel:
                  prfl_cfg: PrflConfig, policy=None):
         self.cfg = prfl_cfg
         self.dit_cfg = dit_cfg
+        self.policy = policy
         self.dit = wan_dit.WanModel(dit_cfg, policy)
         self.lrm = PavrmModel(dit_cfg, pavrm_cfg, policy)
 
@@ -106,9 +107,21 @@ def make_refl_step(model: PrflModel, tx, lora_mode: bool = False,
             batch, cfg.is_i2v, cfg.is_flf2v
         )
 
+        # token-major rollout: the scan carries the solver state in the
+        # token-cell layout (wan_dit.patchify) so no video<->token layout
+        # boundary — the reshard SPMD can only do by full rematerialization
+        # — exists inside the compiled loop. Conversions happen ONCE here.
+        patch = model.dit_cfg.patch_size
+        latent0_t, grid = wan_dit.patchify_sharded(latent0, patch,
+                                                   model.policy)
+        y_t = None
+        if y is not None:
+            y_t = wan_dit.patchify_sharded(y, patch, model.policy)[0]
+
         def velocity(x, t):
             out = model.dit.apply(
-                params, x, t, batch["text"], y=y, clip_fea=clip_fea
+                params, x, t, batch["text"], y=y_t, clip_fea=clip_fea,
+                grid=grid,
             )
             return out
 
@@ -121,7 +134,7 @@ def make_refl_step(model: PrflModel, tx, lora_mode: bool = False,
         # remote TPU compiler (HTTP 500, no diagnostic) — keep the traced
         # stop_index form, whose lax.cond skips the model call at runtime.
         latent, solver_state = unipc.rollout(
-            sched, frozen_vel, latent0, stop_index=mid
+            sched, frozen_vel, latent0_t, stop_index=mid
         )
         latent = jax.lax.stop_gradient(latent)
         solver_state = jax.lax.stop_gradient(solver_state)
@@ -136,17 +149,25 @@ def make_refl_step(model: PrflModel, tx, lora_mode: bool = False,
         t_mid1 = sched.timesteps[jnp.minimum(mid + 1, cfg.inference_steps - 1)]
         logits = model.lrm.score(
             lrm["dit"], lrm["q"], lrm["m"],
-            latent_next, t_mid1, batch["text"], y=y, clip_fea=clip_fea,
+            latent_next, t_mid1, batch["text"], y=y_t, clip_fea=clip_fea,
+            grid=grid,
         )
         reward = rw.reward_sigmoid(logits)[:, 0]
         loss = rw.prfl_hinge_loss(
             reward, cfg.target_reward, cfg.hinge_scale
         )
-        # one-shot x0 estimate for sanity dumps (train_prfl.py:854-856)
+        # one-shot x0 estimate for sanity dumps (train_prfl.py:854-856) —
+        # back to video layout for the host-side mp4 dump, via the mesh-safe
+        # gather-then-reshape exit conversion (outside the scan)
         sigma_mid1 = sched.sigmas[jnp.minimum(mid + 1, cfg.inference_steps)]
-        pred_x0 = latent_next - sigma_mid1 * v
+        pred_x0_t = latent_next - sigma_mid1 * v
+
+        def to_video(tok):
+            return wan_dit.unpatchify_sharded(tok, grid, patch, model.policy)
+
         return loss, {"reward": reward.mean(), "mid": mid,
-                      "latent_next": latent_next, "pred_x0": pred_x0}
+                      "latent_next": to_video(latent_next),
+                      "pred_x0": to_video(pred_x0_t)}
 
     def refl_step(state: common.TrainState, batch, rng, lrm):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
