@@ -41,9 +41,21 @@ def build_mesh(config):
     return shd.make_mesh(data=data, sp=sp, devices=jax.devices()[: data * sp])
 
 
-def make_sharded_state(mesh, params, tx, offload_opt: bool = False):
-    """(TrainState, opt_transfer, state_shardings): params FSDP-sharded over
-    the mesh; the optimizer state optionally stored in pinned host memory
+def fsdp_strategy_from(config) -> str:
+    """model.fsdp.fsdp_sharding_startegy [sic] — the reference YAML key
+    (fsdp_utils.py:86-101); the correctly-spelled variant also accepted."""
+    s = (config.get_path("model.fsdp.fsdp_sharding_startegy")
+         or config.get_path("model.fsdp.fsdp_sharding_strategy") or "full")
+    return str(s)
+
+
+def make_sharded_state(mesh, params, tx, offload_opt: bool = False,
+                       strategy: str = "full"):
+    """(TrainState, opt_transfer, state_shardings): params sharded over the
+    mesh per the FSDP strategy (shd.FSDP_STRATEGIES; reference
+    fsdp_utils.py:86-101), optimizer moments sharded per the same strategy
+    (zero2-style strategies shard moments under replicated params), and the
+    optimizer state optionally stored in pinned host memory
     (training/common.apply_grads streams it on-device per step).
 
     state_shardings pins the jitted step's out_shardings: without it GSPMD
@@ -57,16 +69,14 @@ def make_sharded_state(mesh, params, tx, offload_opt: bool = False):
 
     if mesh.devices.size <= 1:
         return common.init_train_state(params, tx), None, None
-    pshard = shd.fsdp_param_sharding(mesh, params)
+    pshard = shd.fsdp_param_sharding(mesh, params, strategy=strategy)
     params = jax.device_put(params, pshard)
-    if not offload_opt:
-        state = common.init_train_state(params, tx)
-    else:
-        pshapes = jax.eval_shape(lambda: params)
-        dev, host = shd.opt_state_shardings(mesh, pshapes, pshard, tx)
-        opt_state = jax.device_put(tx.init(params), host)
-        state = common.TrainState(params=params, opt_state=opt_state,
-                                  step=jnp.zeros((), jnp.int32))
+    pshapes = jax.eval_shape(lambda: params)
+    dev, host = shd.opt_state_shardings(mesh, pshapes, pshard, tx,
+                                        strategy=strategy)
+    opt_state = jax.device_put(tx.init(params), host if offload_opt else dev)
+    state = common.TrainState(params=params, opt_state=opt_state,
+                              step=jnp.zeros((), jnp.int32))
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     rep = NamedSharding(mesh, P())

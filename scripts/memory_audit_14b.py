@@ -152,6 +152,13 @@ def main():
                choices=["full", "dots", "attn"])
     p.add_argument("--offload", action="store_true",
                    help="pinned-host out-shardings for the optimizer state")
+    p.add_argument("--ema", action="store_true",
+                   help="include the model.ema.use_ema row: the EMA tree "
+                        "(a second full fp32 param copy, sharded like the "
+                        "params — training/ema.ema_init pins this) is HBM-"
+                        "resident through every step, and its donated jitted "
+                        "update (ema.make_ema_update) compiles on the same "
+                        "topology. All 720p reference configs enable EMA.")
     p.add_argument("--rollout", type=int, default=40)
     p.add_argument("--inference", action="store_true",
                    help="serving audit instead: the 14B i2v CFG sampling "
@@ -270,6 +277,38 @@ def main():
     # live HBM peak ~= args + outputs + temps - donated (aliased in-place)
     live = (ma.argument_size_in_bytes - ma.alias_size_in_bytes
             + ma.output_size_in_bytes + ma.temp_size_in_bytes)
+    per_dev["ema"] = args.ema
+    if args.ema:
+        # the EMA tree (training/ema.py: ema_init pins it onto the params'
+        # FSDP shardings) is a resident buffer during the refl step — it is
+        # not an argument of that executable, so memory_analysis() cannot
+        # see it; account it analytically from the shardings.
+        def _dev_bytes(s, sh):
+            n = 1
+            for part in sh.spec:
+                if part is None:
+                    continue
+                for a in (part if isinstance(part, tuple) else (part,)):
+                    n *= mesh.shape[a]
+            return s.size * s.dtype.itemsize // n
+
+        ema_bytes = sum(_dev_bytes(s, sh) for s, sh in zip(
+            jax.tree.leaves(pshapes), jax.tree.leaves(pshard)))
+        per_dev["ema_resident_gb_per_device"] = round(ema_bytes / 2 ** 30, 2)
+        live += ema_bytes
+        # compile the donated EMA update itself on the topology: it aliases
+        # the EMA tree in place, so its own temp footprint must be ~0
+        from hyvideo_prfl_tpu.training import ema as ema_mod
+
+        ema_abs = jax.tree.map(sds, pshapes, pshard)
+        with jax.set_mesh(mesh):
+            ema_fn = ema_mod.make_ema_update(pshard, decay=0.999)
+            ema_ma = ema_fn.lower(ema_abs, params_abs).compile() \
+                           .memory_analysis()
+        per_dev["ema_update_temp_gb"] = round(
+            ema_ma.temp_size_in_bytes / 2 ** 30, 3)
+        per_dev["ema_update_donated_gb"] = round(
+            ema_ma.alias_size_in_bytes / 2 ** 30, 2)
     per_dev["hbm_peak_gb_per_device"] = round(live / 2 ** 30, 2)
     per_dev["v5p_hbm_gb"] = 95
     per_dev["fits"] = bool(live / 2 ** 30 < 95)

@@ -23,7 +23,7 @@ import numpy as np
 
 from scripts._common import (
     MetricLogger, StepTimer, batched_eval, build_mesh, dit_cfg_from,
-    make_sharded_state, make_train_loader,
+    fsdp_strategy_from, make_sharded_state, make_train_loader,
 )
 from hyvideo_prfl_tpu.configs import load_config
 from hyvideo_prfl_tpu.data.dataset import LatentCacheDataset
@@ -111,7 +111,9 @@ def main(config, max_steps=None):
     )
     state, opt_transfer, state_shardings = make_sharded_state(
         mesh, trainable, tx,
-        offload_opt=bool(config.train.get("offload_opt_state")))
+        offload_opt=bool(config.train.get("offload_opt_state")
+                         or config.get_path("model.fsdp.use_cpu_offload")),
+        strategy=fsdp_strategy_from(config))
     if resume and os.path.isdir(resume + "-opt"):
         # exact resume (beyond the reference, which restarts AdamW moments
         # from zero): restore the optimizer state written by
