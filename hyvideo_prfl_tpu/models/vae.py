@@ -91,6 +91,35 @@ def tiny_vae(**kw):
     return VAEConfig(**kw)
 
 
+def infer_config(params) -> VAEConfig:
+    """Reconstruct the VAEConfig from a params tree's shapes/structure —
+    so standalone consumers (scripts/decode_latents.py, the trainer's
+    subprocess sanity decode) work against ANY checkpoint (released full
+    VAE or a tiny test one) without a config side-channel:
+      dim       = encoder.conv1 out-channels
+      z_dim     = top-level conv2 out-channels (the latent re-projection)
+      stages    = 1 + number of encoder.down_i modules
+      num_res_blocks = encoder block count / stages
+      dim_mult[s]    = out-channels of stage s's first block / dim
+      temporal_downsample[s] = down_s has a time_conv
+    """
+    enc = params["params"]["encoder"]
+    dim = int(enc["conv1"]["kernel"].shape[-1])
+    z_dim = int(params["params"]["conv2"]["kernel"].shape[-1])
+    downs = sorted(int(k.split("_")[1]) for k in enc
+                   if k.startswith("down_"))
+    stages = len(downs) + 1
+    blocks = sorted(int(k.split("_")[1]) for k in enc
+                    if k.startswith("block_"))
+    nrb = len(blocks) // stages
+    dim_mult = tuple(
+        int(enc[f"block_{s * nrb}"]["conv1"]["kernel"].shape[-1]) // dim
+        for s in range(stages))
+    tdown = tuple("time_conv" in enc[f"down_{i}"] for i in downs)
+    return VAEConfig(dim=dim, z_dim=z_dim, dim_mult=dim_mult,
+                     num_res_blocks=nrb, temporal_downsample=tdown)
+
+
 def _causal_conv(name, features, kernel=(3, 3, 3), strides=(1, 1, 1),
                  dtype=jnp.float32):
     kt, kh, kw = kernel

@@ -41,8 +41,10 @@ def main():
         lat = lat[None]
     if lat.shape[1] == 16 and lat.shape[-1] != 16:  # reference NCTHW layout
         lat = np.transpose(lat, (0, 2, 3, 4, 1))
-    cfg = vae_mod.VAEConfig()
     params = ck.load_orbax(args.vae_params)
+    # config from the checkpoint itself (works for released-full and tiny
+    # test checkpoints alike; models/vae.infer_config)
+    cfg = vae_mod.infer_config(params)
     if args.decode_chunk > 0:
         video = vae_mod.decode_streaming(params, cfg, lat,
                                          frames_per_chunk=args.decode_chunk)
