@@ -161,6 +161,11 @@ def main():
             "composed_mfu_pct": c["composed_mfu_pct_v5e"],
             "vs_baseline_composed": round(51.11 / c["composed_step_s"], 3),
         }
+        if "composed_step_interval_s" in c:
+            # compiler-grounded comm band (scripts/audit_collectives.py):
+            # [full-overlap, no-overlap] against the measured compute
+            composed["composed_interval_s"] = c["composed_step_interval_s"]
+            composed["comm_audit_refl_s"] = c.get("comm_audit_refl_s")
     except Exception:
         pass
     try:

@@ -1,0 +1,310 @@
+"""Collective-communication inventory of a compiled (SPMD-partitioned) HLO
+module (VERDICT r3 item 2: ground the multi-chip step's communication term
+in what the compiler actually emits, instead of a hand-assumed flat
+"+N ms at 100 GB/s").
+
+Given `jit(f).lower(...).compile().as_text()`, this parses every collective
+instruction (all-to-all / all-gather / all-reduce / reduce-scatter /
+collective-permute, sync or async-start form), sizes it from its result
+shape, reads its replica group size, and multiplies by how many times the
+instruction executes per call of the entry computation — following the call
+graph through `call`/`fusion`/`conditional` (x1) and `while` bodies
+(x trip count, recovered from the loop condition's `compare(counter,
+constant)` bound; scan/fori lowerings all take this form).
+
+The wire-time model (`collective_seconds`) is the scaling-book ring model
+(jax-ml.github.io/scaling-book, "Sharded Matrices" / all-to-all section)
+with every collective normalized to an equivalent wire-byte count so that
+    T = wire_bytes / (2 * W_link_dir)
+on a bidirectional ring of per-direction per-link bandwidth W:
+    all-gather(full B)    wire = B * (g-1)/g      (pipelined bidi ring)
+    reduce-scatter(in B)  wire = B * (g-1)/g
+    all-reduce(B)         wire = 2B * (g-1)/g     (RS + AG)
+    all-to-all(local B)   wire = B * g / 4        (ring a2a: T = B*g/(8W))
+    collective-permute(B) wire = 2B               (single hop, one direction)
+Reference for the traffic being modeled: the torch stack's explicit
+all_to_all_4D per attention (diffusers_lite/utils/communication.py:40-160)
+and the feature all_gather (wan/modules/model.py:663-667) — here the same
+collectives are GSPMD-inserted and read back out of the compiled module.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+DTYPE_BYTES = {
+    "pred": 1, "s4": 1, "u4": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2,
+    "bf16": 2, "f16": 2, "f8e4m3fn": 1, "f8e5m2": 1, "s32": 4, "u32": 4,
+    "f32": 4, "s64": 8, "u64": 8, "f64": 8, "c64": 8, "c128": 16,
+}
+
+COLLECTIVE_OPS = (
+    "all-to-all", "all-gather", "all-reduce", "reduce-scatter",
+    "collective-permute",
+)
+
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+_COMP_RE = re.compile(r"^(ENTRY\s+)?%?([\w\.\-]+)\s*(?:\(|\{)")
+_OP_RE = re.compile(r"=\s*(?:\([^)]*\)|\w+\[[\d,]*\](?:\{[^}]*\})?|\w+\[\])"
+                    r"\s+([a-z][\w\-]*)\(")
+_CALLEE_RE = re.compile(
+    r"(?:to_apply|calls|body|condition)=%?([\w\.\-]+)")
+_BRANCH_RE = re.compile(r"branch_computations=\{([^}]*)\}")
+_TRUEFALSE_RE = re.compile(
+    r"(?:true_computation|false_computation)=%?([\w\.\-]+)")
+
+
+def parse_replica_groups(line: str) -> Optional[List[List[int]]]:
+    """Replica groups of one instruction line; handles the literal format
+    `replica_groups={{0,1},{2,3}}` and the iota v2 format
+    `replica_groups=[2,4]<=[8]` / `...<=[4,2]T(1,0)`."""
+    m = re.search(r"replica_groups=\{(\{[^=]*?\})\}", line)
+    if m:
+        return [[int(v) for v in g.split(",") if v.strip()]
+                for g in re.findall(r"\{([\d,\s]+)\}", m.group(1))]
+    m = re.search(
+        r"replica_groups=\[(\d+),(\d+)\]<=\[([\d,]+)\](?:T\(([\d,]+)\))?",
+        line)
+    if m:
+        ng, gs = int(m.group(1)), int(m.group(2))
+        dims = [int(v) for v in m.group(3).split(",")]
+        ids = np.arange(int(np.prod(dims))).reshape(dims)
+        if m.group(4):
+            ids = ids.transpose([int(v) for v in m.group(4).split(",")])
+        return ids.reshape(ng, gs).tolist()
+    return None
+
+
+def _shape_bytes(text: str) -> List[int]:
+    """Byte sizes of every dtype[dims] group in `text` (layout annotations
+    `{...}` are ignored by construction of the regex)."""
+    out = []
+    for dt, dims in _SHAPE_RE.findall(text):
+        if dt not in DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        out.append(n * DTYPE_BYTES[dt])
+    return out
+
+
+@dataclasses.dataclass
+class Collective:
+    op: str                  # base opcode (async -start normalized away)
+    bytes: int               # per-device result-buffer bytes (largest elem)
+    group_size: int
+    count: float             # executions per entry-computation call
+    is_async: bool           # emitted as start/done pair (overlappable)
+    computation: str
+    replica_groups: Optional[List[List[int]]] = None
+
+    def wire_bytes(self) -> float:
+        g = max(self.group_size, 1)
+        if g == 1:
+            return 0.0
+        if self.op == "all-gather":
+            return self.bytes * (g - 1) / g
+        if self.op == "reduce-scatter":
+            return self.bytes * (g - 1) / g
+        if self.op == "all-reduce":
+            return 2.0 * self.bytes * (g - 1) / g
+        if self.op == "all-to-all":
+            return self.bytes * g / 4.0
+        if self.op == "collective-permute":
+            return 2.0 * self.bytes
+        raise ValueError(self.op)
+
+
+def _split_computations(hlo: str) -> Dict[str, List[str]]:
+    comps: Dict[str, List[str]] = {}
+    cur = None
+    for line in hlo.splitlines():
+        if not line.startswith(" ") and ("{" in line) and ("->" in line
+                                                           or "ENTRY" in line):
+            m = _COMP_RE.match(line.strip())
+            if m:
+                cur = m.group(2)
+                comps[cur] = []
+                if m.group(1):
+                    comps.setdefault("__entry__", []).append(cur)
+                continue
+        if cur is not None and line.strip() == "}":
+            cur = None
+            continue
+        if cur is not None:
+            comps[cur].append(line)
+    return comps
+
+
+def _trip_count(cond_lines: List[str]) -> Optional[int]:
+    """Loop bound from a while condition: ROOT compare(counter, constant)
+    with direction LT (trip = bound) or LE (bound + 1)."""
+    consts = {}
+    for line in cond_lines:
+        m = re.match(r"\s*(?:ROOT\s+)?%?([\w\.\-]+)\s*=.*?constant\((\d+)\)",
+                     line)
+        if m:
+            consts[m.group(1)] = int(m.group(2))
+    for line in cond_lines:
+        if "compare(" not in line:
+            continue
+        m = re.search(r"compare\(([^)]*)\).*direction=(LT|LE|GT|GE)", line)
+        if not m:
+            continue
+        # operands may carry types: `compare(s32[] %i, s32[] %bound)` —
+        # extract the %names (or bare names in minimal dumps)
+        ops = re.findall(r"%([\w\.\-]+)", m.group(1)) or [
+            o.strip() for o in m.group(1).split(",")]
+        vals = [consts[o] for o in ops if o in consts]
+        if vals:
+            bound = max(vals)
+            return bound + 1 if m.group(2) in ("LE", "GE") else bound
+    return None
+
+
+def collect(hlo: str) -> Tuple[List[Collective], List[str]]:
+    """All collectives in the module with per-entry-call execution counts.
+
+    Returns (collectives, warnings). Conditional branches count as
+    always-taken (an upper bound per iteration — the refl rollout's
+    cond-skipped model call is accounted by the caller's composition, not
+    here). While bodies whose trip count cannot be recovered count x1 and
+    produce a warning."""
+    comps = _split_computations(hlo)
+    entries = comps.pop("__entry__", None)
+    warnings: List[str] = []
+    if not entries:
+        warnings.append("no ENTRY computation found")
+        return [], warnings
+    entry = entries[-1]
+
+    # call edges: computation -> [(multiplier, callee)]
+    edges: Dict[str, List[Tuple[float, str]]] = {}
+    for name, lines in comps.items():
+        out = []
+        for line in lines:
+            mo = _OP_RE.search(line)
+            op = mo.group(1) if mo else ""
+            if op == "while":
+                body = re.search(r"body=%?([\w\.\-]+)", line)
+                cond = re.search(r"condition=%?([\w\.\-]+)", line)
+                trip = None
+                if cond and cond.group(1) in comps:
+                    trip = _trip_count(comps[cond.group(1)])
+                if trip is None:
+                    warnings.append(
+                        f"while in {name}: trip count unrecovered, using 1")
+                    trip = 1
+                if body:
+                    out.append((float(trip), body.group(1)))
+                if cond:
+                    out.append((float(trip), cond.group(1)))
+            else:
+                for callee in _CALLEE_RE.findall(line):
+                    out.append((1.0, callee))
+                bm = _BRANCH_RE.search(line)
+                if bm:
+                    for b in bm.group(1).split(","):
+                        out.append((1.0, b.strip().lstrip("%")))
+                for b in _TRUEFALSE_RE.findall(line):
+                    out.append((1.0, b))
+        edges[name] = out
+
+    # multiplier per computation, propagated from the entry (call graphs of
+    # HLO modules are DAGs; iterate in topological order via memoized DFS)
+    mult: Dict[str, float] = {entry: 1.0}
+    order = [entry]
+    seen = {entry}
+    i = 0
+    while i < len(order):
+        cur = order[i]
+        i += 1
+        for m, callee in edges.get(cur, ()):
+            if callee not in comps:
+                continue
+            mult[callee] = mult.get(callee, 0.0) + mult[cur] * m
+            if callee not in seen:
+                seen.add(callee)
+                order.append(callee)
+
+    # `mult` accumulation above adds contributions as nodes are first
+    # reached, but a node reached later along a second path would miss
+    # propagation — recompute by relaxation until stable (small graphs).
+    for _ in range(64):
+        changed = False
+        new = {entry: 1.0}
+        for cur in order:
+            for m, callee in edges.get(cur, ()):
+                if callee not in comps:
+                    continue
+                new[callee] = new.get(callee, 0.0) + new.get(cur, 0.0) * m
+        if new != mult:
+            mult = new
+            changed = True
+        if not changed:
+            break
+
+    cols: List[Collective] = []
+    for name, lines in comps.items():
+        cmult = mult.get(name, 0.0)
+        if cmult == 0.0:
+            continue
+        for line in lines:
+            mo = _OP_RE.search(line)
+            if not mo:
+                continue
+            op = mo.group(1)
+            if op.endswith("-done"):
+                continue
+            base = op[:-6] if op.endswith("-start") else op
+            if base not in COLLECTIVE_OPS:
+                continue
+            sizes = _shape_bytes(line.split("=", 1)[1].split("(", 1)[0])
+            if not sizes:
+                continue
+            groups = parse_replica_groups(line)
+            gsize = len(groups[0]) if groups else 1
+            if base == "collective-permute" and groups is None:
+                # permutes carry source_target_pairs instead
+                gsize = 2 if "source_target_pairs" in line else 1
+            cols.append(Collective(
+                op=base, bytes=max(sizes), group_size=gsize, count=cmult,
+                is_async=op.endswith("-start"), computation=name,
+                replica_groups=groups))
+    return cols, warnings
+
+
+# --- wire-time model ---------------------------------------------------------
+
+# per-direction per-link ICI bandwidth (GB/s): v5e 4x400 Gbps links (2D
+# torus), v5p 6x800 Gbps links (3D torus) — public chip specs; the scaling
+# book's W_ici. DCN is per-host, shared (v5e: ~25 GB/s/host guide number).
+ICI_GBPS = {"v5e": 50.0, "v5p": 100.0, "v4": 50.0}
+
+
+def collective_seconds(cols: List[Collective], link_gbps: float) -> Dict:
+    """Total per-step communication seconds under the ring model, plus a
+    per-opcode breakdown: {op: {bytes, wire_bytes, seconds, count}}."""
+    per_op: Dict[str, Dict[str, float]] = {}
+    total_s = 0.0
+    overlappable_s = 0.0
+    for c in cols:
+        w = c.wire_bytes() * c.count
+        s = w / (2.0 * link_gbps * 1e9)
+        d = per_op.setdefault(c.op, {"bytes": 0.0, "wire_bytes": 0.0,
+                                     "seconds": 0.0, "count": 0.0})
+        d["bytes"] += c.bytes * c.count
+        d["wire_bytes"] += w
+        d["seconds"] += s
+        d["count"] += c.count
+        total_s += s
+        if c.is_async:
+            overlappable_s += s
+    return {"per_op": per_op, "total_seconds": total_s,
+            "async_overlappable_seconds": overlappable_s}

@@ -1,0 +1,296 @@
+"""Compiler-grounded communication audit of the 14B multi-chip steps
+(VERDICT r3 item 2).
+
+AOT-compiles the REAL 14B programs against chipless TPU topologies and
+reads the collective instructions XLA actually emits (op kind, per-device
+bytes, replica-group size, executions per step — while-loop trip counts
+included) out of the compiled HLO, via utils/hlo_comm.py. The per-step
+communication seconds then come from the scaling-book ring model at the
+topology's published ICI link bandwidth — replacing estimate_14b_step.py's
+flat "+5.8 ms a2a at ~100 GB/s" assumption with a per-collective model.
+
+Stages (each in a fresh subprocess with the chipless-AOT env):
+  fwd  — one 14B i2v model forward (the rollout/serving velocity unit) on
+         the v5p:2x2x2 (data=2, sp=4) training mesh
+  sft  — the full 14B SFT train step (fwd+bwd+optimizer) on the same mesh
+  usp  — the 14B i2v CFG UniPC-40 serving chain under USP ring=2 x
+         ulysses=4 on a chipless v5e:2x4
+
+Composition into the refl step (the BENCH_COMPOSED structure,
+scripts/estimate_14b_step.py):
+  C_refl = MID_MEAN * C_fwd + C_sft + (LRM/LAYERS) * C_fwd + C_sft
+and the composed step is restated as the [full-overlap, no-overlap]
+interval [max(T_compute, C), T_compute + C] against
+BENCH_COMPOSED*.json's measured composed_step_noa2a_s.
+
+Output -> COMM_AUDIT.json + a per-op table on stdout (the STATUS.md table).
+
+Reference anchor for the traffic: communication.py:40-160 (all_to_all_4D
+per attention) + wan/modules/model.py:663-667 (feature all_gather).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STAGES = ("fwd", "sft", "usp")
+MID_MEAN = 19.0
+LRM_FRAC = 8.0 / 40.0
+
+
+def _child_env():
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "TPU_ACCELERATOR_TYPE": "v5p-16",
+        "TPU_WORKER_HOSTNAMES": "localhost",
+        "PALLAS_INTERPRET": "0",
+        "HYV_NO_CUSTOM_PARTITIONING": "1",
+    })
+    return env
+
+
+def _child(stage: str, out_path: str) -> None:
+    """Runs inside the chipless-AOT subprocess: build, compile, inventory."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from hyvideo_prfl_tpu.models import wan_dit
+    from hyvideo_prfl_tpu.parallel import sharding as shd
+    from hyvideo_prfl_tpu.utils import hlo_comm
+
+    def sds(shape_dtype, sharding):
+        return jax.ShapeDtypeStruct(shape_dtype.shape, shape_dtype.dtype,
+                                    sharding=sharding)
+
+    if stage == "usp":
+        from hyvideo_prfl_tpu.schedulers import unipc
+
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name="v5e:2x4")
+        mesh = Mesh(np.array(topo.devices).reshape(1, 2, 4),
+                    ("data", "ring", "sp"))
+        chip = "v5e"
+        cfg = wan_dit.i2v_14b(remat=False)
+        policy = shd.usp_policy()
+        model = wan_dit.WanModel(cfg, policy)
+        pshapes = jax.eval_shape(
+            lambda: wan_dit.init_params(cfg, jax.random.PRNGKey(0)))
+        pshapes = jax.tree.map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, jnp.bfloat16), pshapes)
+        pshard = shd.fsdp_param_sharding(mesh, pshapes)
+        params_abs = jax.tree.map(sds, pshapes, pshard)
+        b, f, hh, ww = 1, 21, 90, 160
+        seq = ("ring", "sp")
+        tok = NamedSharding(mesh, P("data", seq, None, None))
+        bsh = NamedSharding(mesh, P("data"))
+        # solver state in the token-cell layout, converted ONCE outside the
+        # scan (pipelines/pipeline.py sample()) — audit the same program
+        L = f * (hh // 2) * (ww // 2)
+        lat_abs = jax.ShapeDtypeStruct((b, L, 4, 16), jnp.float32,
+                                       sharding=tok)
+        y_abs = jax.ShapeDtypeStruct((b, L, 4, 20), jnp.float32,
+                                     sharding=tok)
+        txt_abs = jax.ShapeDtypeStruct((b, cfg.text_len, cfg.text_dim),
+                                       jnp.float32, sharding=bsh)
+        clip_abs = jax.ShapeDtypeStruct((b, 257, 1280), jnp.float32,
+                                        sharding=bsh)
+        grid = (f, hh // 2, ww // 2)
+        sched = unipc.unipc_schedule(40, shift=5.0)
+
+        def sample(params, noise, text, text_null, y, clip_fea):
+            def vel(x, t):
+                x2 = jnp.concatenate([x, x], axis=0)
+                ctx2 = jnp.concatenate([text, text_null], axis=0)
+                t2 = jnp.broadcast_to(jnp.atleast_1d(t), (b,))
+                t2 = jnp.concatenate([t2, t2], axis=0)
+                y2 = jnp.concatenate([y, y], axis=0)
+                clip2 = jnp.concatenate([clip_fea, clip_fea], axis=0)
+                out = model.apply(params, x2, t2, ctx2, y=y2, clip_fea=clip2,
+                                  grid=grid)
+                cond, uncond = out[:b], out[b:]
+                return uncond + 5.0 * (cond - uncond)
+
+            x, _ = unipc.rollout(sched, vel, noise)
+            return x
+
+        with jax.set_mesh(mesh):
+            compiled = jax.jit(sample).lower(
+                params_abs, lat_abs, txt_abs, txt_abs, y_abs, clip_abs
+            ).compile()
+        per_exec = 1.0  # the chain IS the unit (40 steps inside)
+    else:
+        from hyvideo_prfl_tpu.schedulers import flow_match as fm
+        from hyvideo_prfl_tpu.training import common
+        from hyvideo_prfl_tpu.training.pavrm import PavrmConfig
+        from hyvideo_prfl_tpu.training.prfl import (
+            PrflConfig, PrflModel, make_sft_step,
+        )
+
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name="v5p:2x2x2")
+        mesh = Mesh(np.array(topo.devices).reshape(2, 4), ("data", "sp"))
+        chip = "v5p"
+        cfg = wan_dit.i2v_14b(remat=True, remat_policy="attn")
+        policy = shd.ShardingPolicy(shard_map_ulysses=True)
+        pshapes = jax.eval_shape(
+            lambda: wan_dit.init_params(cfg, jax.random.PRNGKey(0)))
+        pshard = shd.fsdp_param_sharding(mesh, pshapes)
+        params_abs = jax.tree.map(sds, pshapes, pshard)
+        b, f, hh, ww = 2, 21, 90, 160
+        bsh = NamedSharding(mesh, P("data"))
+        wsh = NamedSharding(mesh, P("data", None, None, "sp", None))
+        lat_abs = jax.ShapeDtypeStruct((b, f, hh, ww, 16), jnp.float32,
+                                       sharding=wsh)
+        cond_abs = jax.ShapeDtypeStruct((b, f, hh, ww, 16), jnp.float32,
+                                        sharding=wsh)
+        txt_abs = jax.ShapeDtypeStruct((b, cfg.text_len, cfg.text_dim),
+                                       jnp.float32, sharding=bsh)
+        clip_abs = jax.ShapeDtypeStruct((b, 257, 1280), jnp.float32,
+                                        sharding=bsh)
+
+        if stage == "fwd":
+            model = wan_dit.WanModel(cfg, policy)
+            grid = (f, hh // 2, ww // 2)
+            L = grid[0] * grid[1] * grid[2]
+            tok = NamedSharding(mesh, P("data", "sp", None, None))
+            x_abs = jax.ShapeDtypeStruct((b, L, 4, 16), jnp.float32,
+                                         sharding=tok)
+            y_abs = jax.ShapeDtypeStruct((b, L, 4, 20), jnp.float32,
+                                         sharding=tok)
+            t_abs = jax.ShapeDtypeStruct((b,), jnp.float32, sharding=bsh)
+
+            def fwd(params, x, t, text, y, clip_fea):
+                return wan_dit.WanModel(cfg, policy).apply(
+                    params, x, t, text, y=y, clip_fea=clip_fea, grid=grid)
+
+            with jax.set_mesh(mesh):
+                compiled = jax.jit(fwd).lower(
+                    params_abs, x_abs, t_abs, txt_abs, y_abs, clip_abs
+                ).compile()
+            per_exec = 1.0
+        else:  # sft
+            pc = PavrmConfig(loss="ce", feature_layer=(20,),
+                             trainable_blocks=())
+            prfl_cfg = PrflConfig(inference_steps=40, flow_shift=5.0,
+                                  is_i2v=True)
+            model = PrflModel(cfg, pc, prfl_cfg, policy)
+            tx = common.make_optimizer(learning_rate=1e-6)
+            opt_shapes = jax.eval_shape(tx.init, pshapes)
+            opt_dev, _ = shd.opt_state_shardings(mesh, pshapes, pshard, tx)
+            opt_abs = jax.tree.map(sds, opt_shapes, opt_dev)
+            rep = NamedSharding(mesh, P())
+            state_abs = common.TrainState(
+                params=params_abs, opt_state=opt_abs,
+                step=jax.ShapeDtypeStruct((), jnp.int32, sharding=rep))
+            batch_abs = {"latents": lat_abs, "cond": cond_abs,
+                         "clip_fea": clip_abs, "text": txt_abs}
+            rng_abs = jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rep)
+            step = make_sft_step(model, tx, fm.train_schedule(1000))
+            with jax.set_mesh(mesh):
+                compiled = jax.jit(step, donate_argnums=(0,)).lower(
+                    state_abs, batch_abs, rng_abs).compile()
+            per_exec = 1.0
+
+    hlo = compiled.as_text()
+    cols, warnings = hlo_comm.collect(hlo)
+    link = hlo_comm.ICI_GBPS[chip]
+    model_out = hlo_comm.collective_seconds(cols, link)
+    result = {
+        "stage": stage, "chip": chip, "link_gbps_per_dir": link,
+        "per_exec": per_exec,
+        "hlo_bytes": len(hlo),
+        "n_collective_sites": len(cols),
+        "warnings": warnings,
+        "per_op": {k: {kk: (round(vv, 6) if kk == "seconds" else vv)
+                       for kk, vv in v.items()}
+                   for k, v in model_out["per_op"].items()},
+        "total_seconds": round(model_out["total_seconds"], 6),
+        "async_overlappable_seconds": round(
+            model_out["async_overlappable_seconds"], 6),
+    }
+    with open(out_path, "w") as fobj:
+        json.dump(result, fobj, indent=2)
+    print(json.dumps({"stage": stage, "done": True,
+                      "total_seconds": result["total_seconds"]}), flush=True)
+
+
+def run_stage(stage: str, out_dir: str) -> dict:
+    out_path = os.path.join(out_dir, f"comm_{stage}.json")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = ("import sys; sys.path.insert(0, %r); "
+            "from scripts.audit_collectives import _child; _child(%r, %r)"
+            % (repo, stage, out_path))
+    r = subprocess.run([sys.executable, "-c", code], env=_child_env(),
+                       cwd=repo, timeout=5400)
+    if r.returncode != 0:
+        raise RuntimeError(f"stage {stage} failed rc={r.returncode}")
+    with open(out_path) as fobj:
+        return json.load(fobj)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("stages", nargs="*", default=list(STAGES))
+    p.add_argument("--out", default="/tmp/comm_audit")
+    args = p.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    stages = args.stages or list(STAGES)
+
+    results = {}
+    for s in stages:
+        print(f"== stage {s} (chipless AOT compile; minutes) ==", flush=True)
+        results[s] = run_stage(s, args.out)
+        for op, d in results[s]["per_op"].items():
+            print(f"  {op:20s} x{d['count']:<8g} {d['bytes']/2**20:10.1f} MiB"
+                  f"  wire {d['wire_bytes']/2**20:10.1f} MiB"
+                  f"  {d['seconds']*1e3:8.2f} ms", flush=True)
+        print(f"  TOTAL {results[s]['total_seconds']*1e3:.2f} ms "
+              f"(async-overlappable "
+              f"{results[s]['async_overlappable_seconds']*1e3:.2f} ms)",
+              flush=True)
+
+    out = {"stages": results}
+    # compose into the refl step and restate BENCH_COMPOSED as an interval
+    if "fwd" in results and "sft" in results:
+        c_fwd = results["fwd"]["total_seconds"]
+        c_sft = results["sft"]["total_seconds"]
+        c_refl = MID_MEAN * c_fwd + c_sft + LRM_FRAC * c_fwd + c_sft
+        out["refl_comm_seconds"] = round(c_refl, 3)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        bc_path = os.path.join(repo, "BENCH_COMPOSED.json")
+        if os.path.exists(bc_path):
+            with open(bc_path) as fobj:
+                bc = json.load(fobj)
+            t_compute = bc.get("composed_step_noa2a_s")
+            if t_compute:
+                interval = [round(max(t_compute, c_refl), 2),
+                            round(t_compute + c_refl, 2)]
+                out["composed_step_interval_s"] = interval
+                out["composed_step_compute_s"] = t_compute
+                bc["comm_audit_refl_s"] = round(c_refl, 3)
+                bc["composed_step_interval_s"] = interval
+                with open(bc_path, "w") as fobj:
+                    json.dump(bc, fobj, indent=2)
+                print(f"composed 14B refl step: compute {t_compute} s + "
+                      f"audited comm {c_refl:.2f} s -> [{interval[0]}, "
+                      f"{interval[1]}] s (full-overlap, no-overlap)",
+                      flush=True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "COMM_AUDIT.json"), "w") as fobj:
+        json.dump(out, fobj, indent=2)
+    print("wrote COMM_AUDIT.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()

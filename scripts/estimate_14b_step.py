@@ -154,10 +154,23 @@ def main():
     t_fl_dev_f, t_fl_dev_fb = flash_times(H_LOC, L_FULL, rt,
                                           f"{H_LOC}h_75k6")
 
-    # --- a2a ICI estimate (not measurable on one chip) ---
+    # --- per-block communication: compiler-grounded when COMM_AUDIT.json
+    # exists (scripts/audit_collectives.py: collective bytes/kinds read from
+    # the compiled 14B HLO x the scaling-book ring model at the topology's
+    # ICI link bandwidth), else the flat analytic estimate ---
+    comm_source = "analytic"
     bytes_per_tensor = L * DIM * 2 * (SP - 1) / SP
     a2a_f = 4 * bytes_per_tensor / (A2A_GBPS * 1e9)  # q,k,v in + o out
     a2a_fb = 3 * a2a_f
+    audit_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "COMM_AUDIT.json")
+    if SP == 4 and os.path.exists(audit_path):
+        with open(audit_path) as fobj:
+            audit = json.load(fobj).get("stages", {})
+        if "fwd" in audit and "sft" in audit:
+            a2a_f = audit["fwd"]["total_seconds"] / LAYERS
+            a2a_fb = audit["sft"]["total_seconds"] / LAYERS
+            comm_source = "hlo_audit"
 
     blk_dev_f = t_blk_f - t_fl_loc_f + t_fl_dev_f + a2a_f
     blk_dev_fb = t_blk_fb - t_fl_loc_fb + t_fl_dev_fb + a2a_fb
@@ -273,6 +286,7 @@ def main():
     out = {
         "policy": policy_name,
         "sp": SP,
+        "comm_source": comm_source,
         "block_fwd_local_ms": round(t_blk_f * 1e3, 1),
         "block_fwdbwd_local_ms": round(t_blk_fb * 1e3, 1),
         "flash_fwd_40h_18k9_ms": round(t_fl_loc_f * 1e3, 1),

@@ -1,0 +1,123 @@
+"""utils/hlo_comm.py — the compiled-HLO collective inventory behind
+COMM_AUDIT.json (scripts/audit_collectives.py). Two pins:
+
+  1. synthetic HLO: while-loop trip counts multiply nested collectives,
+     async -start forms count once, replica groups parse in both formats,
+     and the ring wire-byte model matches the scaling-book formulas.
+  2. real module: a jitted data-parallel mean-gradient step on the 8-device
+     CPU mesh must inventory exactly its gradient all-reduce(s), sized from
+     true shapes, and a scanned body's collective must be counted
+     trip-count times.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from hyvideo_prfl_tpu.parallel import sharding as shd
+from hyvideo_prfl_tpu.utils import hlo_comm
+
+SYNTH = """\
+HloModule jit_f, entry_computation_layout={(f32[8,16]{1,0})->f32[8,16]{1,0}}
+
+%loop_cond (p: (s32[], f32[8,16])) -> pred[] {
+  %p = (s32[], f32[8,16]{1,0}) parameter(0)
+  %i = s32[] get-tuple-element((s32[], f32[8,16]{1,0}) %p), index=0
+  %bound = s32[] constant(5)
+  ROOT %lt = pred[] compare(s32[] %i, s32[] %bound), direction=LT
+}
+
+%loop_body (p: (s32[], f32[8,16])) -> (s32[], f32[8,16]) {
+  %p = (s32[], f32[8,16]{1,0}) parameter(0)
+  %i = s32[] get-tuple-element((s32[], f32[8,16]{1,0}) %p), index=0
+  %x = f32[8,16]{1,0} get-tuple-element((s32[], f32[8,16]{1,0}) %p), index=1
+  %one = s32[] constant(1)
+  %i2 = s32[] add(s32[] %i, s32[] %one)
+  %a2a = f32[8,16]{1,0} all-to-all(f32[8,16]{1,0} %x), replica_groups={{0,1,2,3},{4,5,6,7}}, dimensions={0}
+  ROOT %t = (s32[], f32[8,16]{1,0}) tuple(s32[] %i2, f32[8,16]{1,0} %a2a)
+}
+
+%add_f32 (a: f32[], b: f32[]) -> f32[] {
+  %a = f32[] parameter(0)
+  %b = f32[] parameter(1)
+  ROOT %s = f32[] add(f32[] %a, f32[] %b)
+}
+
+ENTRY %main (arg: f32[8,16]) -> f32[8,16] {
+  %arg = f32[8,16]{1,0} parameter(0)
+  %init_i = s32[] constant(0)
+  %init = (s32[], f32[8,16]{1,0}) tuple(s32[] %init_i, f32[8,16]{1,0} %arg)
+  %w = (s32[], f32[8,16]{1,0}) while((s32[], f32[8,16]{1,0}) %init), condition=%loop_cond, body=%loop_body
+  %xw = f32[8,16]{1,0} get-tuple-element((s32[], f32[8,16]{1,0}) %w), index=1
+  %ar-start = f32[8,16]{1,0} all-reduce-start(f32[8,16]{1,0} %xw), replica_groups=[2,4]<=[8], to_apply=%add_f32
+  ROOT %ar-done = f32[8,16]{1,0} all-reduce-done(f32[8,16]{1,0} %ar-start)
+}
+"""
+
+
+def test_synthetic_inventory():
+    cols, warnings = hlo_comm.collect(SYNTH)
+    assert not warnings
+    by_op = {c.op: c for c in cols}
+    assert set(by_op) == {"all-to-all", "all-reduce"}
+
+    a2a = by_op["all-to-all"]
+    assert a2a.count == 5.0  # while trip count from compare(i, constant(5))
+    assert a2a.bytes == 8 * 16 * 4
+    assert a2a.group_size == 4
+    assert not a2a.is_async
+    # ring model: wire = B * g / 4
+    assert a2a.wire_bytes() == a2a.bytes * 4 / 4
+
+    ar = by_op["all-reduce"]
+    assert ar.count == 1.0  # -start counted, -done ignored
+    assert ar.is_async
+    assert ar.group_size == 4  # iota [2,4]<=[8]
+    assert ar.wire_bytes() == 2 * ar.bytes * 3 / 4
+
+    model = hlo_comm.collective_seconds(cols, link_gbps=100.0)
+    expect = (5 * a2a.wire_bytes() + ar.wire_bytes()) / (2 * 100e9)
+    assert abs(model["total_seconds"] - expect) < 1e-12
+    assert model["async_overlappable_seconds"] == pytest.approx(
+        ar.wire_bytes() / (2 * 100e9))
+
+
+def test_replica_group_formats():
+    lit = hlo_comm.parse_replica_groups("replica_groups={{0,2},{1,3}}")
+    assert lit == [[0, 2], [1, 3]]
+    iota = hlo_comm.parse_replica_groups("replica_groups=[4,2]<=[2,4]T(1,0)")
+    ids = np.arange(8).reshape(2, 4).transpose(1, 0).reshape(4, 2)
+    assert iota == ids.tolist()
+    assert hlo_comm.parse_replica_groups("no groups here") is None
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_real_module_inventory():
+    mesh = shd.make_mesh(data=8, sp=1, devices=jax.devices()[:8])
+    w = jnp.ones((64, 64))
+    x_sh = NamedSharding(mesh, P("data", None))
+
+    def loss(w, x):
+        # scan so the per-iteration matmul's gradient all-reduce sits in a
+        # while body: the inventory must multiply it by the trip count
+        def body(h, _):
+            return jnp.tanh(h @ w), None
+
+        h, _ = jax.lax.scan(body, x, None, length=3)
+        return jnp.mean(h ** 2)
+
+    with jax.set_mesh(mesh):
+        x = jax.device_put(jnp.ones((16, 64)), x_sh)
+        compiled = jax.jit(jax.grad(loss)).lower(w, x).compile()
+    cols, _ = hlo_comm.collect(compiled.as_text())
+    ars = [c for c in cols if c.op == "all-reduce"]
+    assert ars, "data-parallel gradient must all-reduce"
+    # the dL/dw reduction is [64,64] f32 over all 8 devices
+    big = [c for c in ars if c.bytes == 64 * 64 * 4]
+    assert big and all(c.group_size == 8 for c in big)
+    total = sum(c.count for c in big)
+    # XLA may emit it inside the backward scan body (count 3) or hoisted
+    # after accumulation (count 1); either way it must be counted >= once
+    assert total >= 1.0
