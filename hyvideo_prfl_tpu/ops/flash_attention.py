@@ -735,7 +735,8 @@ def _bwd_blocks_merged(lq_p: int, lk_p: int):
     temporaries at 12.6 MB, over the scoped-VMEM comfort line."""
     import os
     cap_k = int(os.environ.get("HYV_FLASH_MERGED_BK", "1280"))
-    bq = _divisor_block(lq_p, 512)
+    cap_q = int(os.environ.get("HYV_FLASH_MERGED_BQ", "512"))
+    bq = _divisor_block(lq_p, cap_q)
     bk = _divisor_block(lk_p, cap_k)
     return bq, bk
 
