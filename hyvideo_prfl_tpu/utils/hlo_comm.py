@@ -142,29 +142,43 @@ def _split_computations(hlo: str) -> Dict[str, List[str]]:
     return comps
 
 
-def _trip_count(cond_lines: List[str]) -> Optional[int]:
-    """Loop bound from a while condition: ROOT compare(counter, constant)
-    with direction LT (trip = bound) or LE (bound + 1)."""
+def _trip_count(cond_lines: List[str],
+                comps: Optional[Dict[str, List[str]]] = None) -> Optional[int]:
+    """Loop bound from a while condition: compare(counter, constant) with
+    direction LT (trip = bound) or LE (bound + 1). XLA usually wraps the
+    compare in a kLoop fusion (`ROOT ... fusion(%gte, %const),
+    calls=%wrapped_compare_computation`), so the direction is searched one
+    level into called computations; if no compare is found but the
+    condition holds exactly one integer constant, that constant is the
+    bound (the lax.scan/fori lowering: counter from 0, direction LT)."""
     consts = {}
     for line in cond_lines:
         m = re.match(r"\s*(?:ROOT\s+)?%?([\w\.\-]+)\s*=.*?constant\((\d+)\)",
                      line)
         if m:
             consts[m.group(1)] = int(m.group(2))
-    for line in cond_lines:
-        if "compare(" not in line:
-            continue
+
+    search = list(cond_lines)
+    if comps:
+        for line in cond_lines:
+            for callee in re.findall(r"calls=%?([\w\.\-]+)", line):
+                search.extend(comps.get(callee, ()))
+
+    direction = None
+    for line in search:
         m = re.search(r"compare\(([^)]*)\).*direction=(LT|LE|GT|GE)", line)
         if not m:
             continue
-        # operands may carry types: `compare(s32[] %i, s32[] %bound)` —
-        # extract the %names (or bare names in minimal dumps)
+        direction = m.group(2)
         ops = re.findall(r"%([\w\.\-]+)", m.group(1)) or [
             o.strip() for o in m.group(1).split(",")]
         vals = [consts[o] for o in ops if o in consts]
         if vals:
             bound = max(vals)
-            return bound + 1 if m.group(2) in ("LE", "GE") else bound
+            return bound + 1 if direction in ("LE", "GE") else bound
+    if len(set(consts.values())) == 1:
+        bound = next(iter(consts.values()))
+        return bound + 1 if direction in ("LE", "GE") else bound
     return None
 
 
@@ -191,12 +205,14 @@ def collect(hlo: str) -> Tuple[List[Collective], List[str]]:
         for line in lines:
             mo = _OP_RE.search(line)
             op = mo.group(1) if mo else ""
-            if op == "while":
+            # while results are tuples whose shape text defeats _OP_RE
+            # (nested layouts); detect the opcode textually
+            if op == "while" or re.search(r"\swhile\(", line):
                 body = re.search(r"body=%?([\w\.\-]+)", line)
                 cond = re.search(r"condition=%?([\w\.\-]+)", line)
                 trip = None
                 if cond and cond.group(1) in comps:
-                    trip = _trip_count(comps[cond.group(1)])
+                    trip = _trip_count(comps[cond.group(1)], comps)
                 if trip is None:
                     warnings.append(
                         f"while in {name}: trip count unrecovered, using 1")

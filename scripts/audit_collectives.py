@@ -203,6 +203,9 @@ def _child(stage: str, out_path: str) -> None:
             per_exec = 1.0
 
     hlo = compiled.as_text()
+    if os.environ.get("COMM_AUDIT_SAVE_HLO"):
+        with open(out_path.replace(".json", ".hlo"), "w") as fobj:
+            fobj.write(hlo)
     cols, warnings = hlo_comm.collect(hlo)
     link = hlo_comm.ICI_GBPS[chip]
     model_out = hlo_comm.collective_seconds(cols, link)

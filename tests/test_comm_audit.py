@@ -118,6 +118,9 @@ def test_real_module_inventory():
     big = [c for c in ars if c.bytes == 64 * 64 * 4]
     assert big and all(c.group_size == 8 for c in big)
     total = sum(c.count for c in big)
-    # XLA may emit it inside the backward scan body (count 3) or hoisted
-    # after accumulation (count 1); either way it must be counted >= once
-    assert total >= 1.0
+    # XLA emits it inside the backward scan body: the while trip count (3,
+    # recovered through the kLoop-fusion-wrapped loop condition) must
+    # multiply it. Hoisting after accumulation (count 1) would also be
+    # sound, but current XLA keeps it in-body — pin the stronger claim so
+    # a trip-count regression is loud.
+    assert total == 3.0, total

@@ -152,6 +152,48 @@ def test_patchify_roundtrip_token_order(tiny_t2v):
     assert feats.shape == (1, b, l, cfg.dim)
 
 
+def test_token_mode_matches_video_mode(tiny_t2v):
+    """The token-cell input path (x from patchify + grid, head exit kept
+    token-major — the sampling/rollout scans' solver layout) must be
+    BIT-identical to the video path: patchify's flattening order matches
+    the in-model patch embedding, so tokens.reshape(b, L, cells*C) == the
+    video-layout embed input, and unpatchify(out_tok) == out_video."""
+    cfg, params = tiny_t2v
+    x, t, ctx = _inputs(cfg)
+    m = wan_dit.WanModel(cfg)
+    out_video = m.apply(params, x, t, ctx)
+
+    xt, grid = wan_dit.patchify(x, cfg.patch_size)
+    out_tok = m.apply(params, xt, t, ctx, grid=grid)
+    assert out_tok.shape == (2, xt.shape[1], 4, cfg.out_dim)
+    back = wan_dit.unpatchify(out_tok, grid, cfg.patch_size)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(out_video))
+
+
+def test_token_mode_i2v_channel_concat(tiny_t2v):
+    """i2v conditioning: concatenating mask+cond on the channel axis in
+    token-cell layout must reproduce the video-layout channel concat
+    exactly (model.py:574-575) — the property that lets the refl rollout
+    keep y token-major for the whole scan."""
+    cfg = wan_dit.tiny_test(remat=False, model_type="i2v", in_dim=36)
+    params = wan_dit.init_params(cfg, jax.random.PRNGKey(3))
+    b, f, h, w = 2, 4, 8, 8
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(4), 3)
+    x = jax.random.normal(k1, (b, f, h, w, 16))
+    y = jax.random.normal(k2, (b, f, h, w, 20))
+    ctx = jax.random.normal(k3, (b, cfg.text_len, cfg.text_dim)) * 0.1
+    clip = jnp.ones((b, 257, 1280)) * 0.05
+    t = jnp.asarray([500.0] * b)
+    m = wan_dit.WanModel(cfg)
+    out_video = m.apply(params, x, t, ctx, y=y, clip_fea=clip)
+
+    xt, grid = wan_dit.patchify(x, cfg.patch_size)
+    yt, _ = wan_dit.patchify(y, cfg.patch_size)
+    out_tok = m.apply(params, xt, t, ctx, y=yt, clip_fea=clip, grid=grid)
+    back = wan_dit.unpatchify(out_tok, grid, cfg.patch_size)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(out_video))
+
+
 def test_rolled_rope_matches_pairwise():
     """The roll-formulation rotation == the reference-parity apply_rope."""
     from hyvideo_prfl_tpu.models.rope import (
