@@ -623,6 +623,14 @@ class WanModel(nn.Module):
         e = _dense("time_2", cfg.dim, jnp.float32, init="normal02")(e)
         e = constrain(e, policy, "time_embed")
         e0 = nn.silu(e)
+        # NOTE: the partitioner satisfies the replicated e0 constraint by
+        # all-gathering the fp32 time_2/time_proj KERNELS (not the tiny
+        # activation) — measured in the compiled 14B step at ~1.4 GiB wire
+        # (~7 ms) per step, emitted as windowed collective matmuls that
+        # overlap with compute. Pinning the raw dot outputs onto the
+        # kernels' column shards removes the gathers but introduces
+        # involuntary-full-rematerialization warnings on the [B, dim]
+        # boundary (tried and reverted; the zero-warning invariant wins).
         e0 = _dense("time_proj", cfg.dim * 6, jnp.float32)(e0)
         e0 = e0.reshape(b, 6, cfg.dim)
         e0 = constrain(e0, policy, "time_mod")

@@ -198,8 +198,14 @@ def collect(hlo: str) -> Tuple[List[Collective], List[str]]:
         return [], warnings
     entry = entries[-1]
 
-    # call edges: computation -> [(multiplier, callee)]
+    # call edges: computation -> [(multiplier, callee)].
+    # Async collectives lower to an `async_collective_fusion` computation
+    # referenced by a chain of async-start/async-update/async-done
+    # instructions — only the START edge counts an execution (the others
+    # would inflate counts ~4x), and computations reached via a start edge
+    # are overlappable.
     edges: Dict[str, List[Tuple[float, str]]] = {}
+    async_called: set = set()
     for name, lines in comps.items():
         out = []
         for line in lines:
@@ -217,13 +223,30 @@ def collect(hlo: str) -> Tuple[List[Collective], List[str]]:
                     warnings.append(
                         f"while in {name}: trip count unrecovered, using 1")
                     trip = 1
+                # GSPMD collective matmul: a `windowed_dot_general_body_*`
+                # while runs the gather in n_win chunk steps pipelined
+                # under partial matmuls. The in-body collective's result
+                # shape is the FULL buffer (the accumulator), so counting
+                # it x n_win would inflate bytes — the data moved over the
+                # window totals ONE full buffer. Count once, and mark the
+                # body overlapped-by-construction.
+                if body and "windowed_dot_general_body" in body.group(1):
+                    trip = 1
+                    async_called.add(body.group(1))
                 if body:
                     out.append((float(trip), body.group(1)))
                 if cond:
                     out.append((float(trip), cond.group(1)))
             else:
+                is_async_ref = bool(re.search(r"\sasync-(start|update|done)\(",
+                                              line)) or op.endswith("-done")
+                if re.search(r"\sasync-(update|done)\(", line) or \
+                        op.endswith("-done"):
+                    continue  # non-executing references to the async chain
                 for callee in _CALLEE_RE.findall(line):
                     out.append((1.0, callee))
+                    if is_async_ref:
+                        async_called.add(callee)
                 bm = _BRANCH_RE.search(line)
                 if bm:
                     for b in bm.group(1).split(","):
@@ -231,6 +254,17 @@ def collect(hlo: str) -> Tuple[List[Collective], List[str]]:
                 for b in _TRUEFALSE_RE.findall(line):
                     out.append((1.0, b))
         edges[name] = out
+
+    # overlappable-by-construction propagates to everything reachable from
+    # an async-start target or a windowed-dot-general body (the collective
+    # instruction usually sits in a fusion called from there)
+    frontier = list(async_called)
+    while frontier:
+        cur = frontier.pop()
+        for _, callee in edges.get(cur, ()):
+            if callee in comps and callee not in async_called:
+                async_called.add(callee)
+                frontier.append(callee)
 
     # multiplier per computation, propagated from the entry (call graphs of
     # HLO modules are DAGs; iterate in topological order via memoized DFS)
@@ -291,8 +325,13 @@ def collect(hlo: str) -> Tuple[List[Collective], List[str]]:
                 gsize = 2 if "source_target_pairs" in line else 1
             cols.append(Collective(
                 op=base, bytes=max(sizes), group_size=gsize, count=cmult,
-                is_async=op.endswith("-start"), computation=name,
-                replica_groups=groups))
+                # overlappable: explicit async start/done, reachable from a
+                # windowed-dot-general body, or an async_collective_fusion
+                # (XLA's collective matmul: the gather is software-pipelined
+                # under partial matmuls inside the kOutput fusion itself)
+                is_async=(op.endswith("-start") or name in async_called
+                          or name.startswith("async_collective_fusion")),
+                computation=name, replica_groups=groups))
     return cols, warnings
 
 

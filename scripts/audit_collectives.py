@@ -228,6 +228,35 @@ def _child(stage: str, out_path: str) -> None:
                       "total_seconds": result["total_seconds"]}), flush=True)
 
 
+def reparse_stage(stage: str, out_dir: str) -> dict:
+    """Re-inventory a stage from its saved .hlo (COMM_AUDIT_SAVE_HLO) —
+    for parser iterations without re-paying the 14B AOT compile. Only
+    valid while the model source matches the compile."""
+    from hyvideo_prfl_tpu.utils import hlo_comm
+
+    hlo_path = os.path.join(out_dir, f"comm_{stage}.hlo")
+    with open(hlo_path) as fobj:
+        hlo = fobj.read()
+    chip = "v5e" if stage == "usp" else "v5p"
+    cols, warnings = hlo_comm.collect(hlo)
+    link = hlo_comm.ICI_GBPS[chip]
+    model_out = hlo_comm.collective_seconds(cols, link)
+    result = {
+        "stage": stage, "chip": chip, "link_gbps_per_dir": link,
+        "per_exec": 1.0, "hlo_bytes": len(hlo),
+        "n_collective_sites": len(cols), "warnings": warnings,
+        "per_op": {k: {kk: (round(vv, 6) if kk == "seconds" else vv)
+                       for kk, vv in v.items()}
+                   for k, v in model_out["per_op"].items()},
+        "total_seconds": round(model_out["total_seconds"], 6),
+        "async_overlappable_seconds": round(
+            model_out["async_overlappable_seconds"], 6),
+    }
+    with open(os.path.join(out_dir, f"comm_{stage}.json"), "w") as fobj:
+        json.dump(result, fobj, indent=2)
+    return result
+
+
 def run_stage(stage: str, out_dir: str) -> dict:
     out_path = os.path.join(out_dir, f"comm_{stage}.json")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -246,14 +275,21 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("stages", nargs="*", default=list(STAGES))
     p.add_argument("--out", default="/tmp/comm_audit")
+    p.add_argument("--reparse", action="store_true",
+                   help="re-inventory saved comm_<stage>.hlo dumps instead "
+                        "of recompiling (parser iterations only)")
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
     stages = args.stages or list(STAGES)
 
     results = {}
     for s in stages:
-        print(f"== stage {s} (chipless AOT compile; minutes) ==", flush=True)
-        results[s] = run_stage(s, args.out)
+        if args.reparse:
+            results[s] = reparse_stage(s, args.out)
+        else:
+            print(f"== stage {s} (chipless AOT compile; minutes) ==",
+                  flush=True)
+            results[s] = run_stage(s, args.out)
         for op, d in results[s]["per_op"].items():
             print(f"  {op:20s} x{d['count']:<8g} {d['bytes']/2**20:10.1f} MiB"
                   f"  wire {d['wire_bytes']/2**20:10.1f} MiB"
