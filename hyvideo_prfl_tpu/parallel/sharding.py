@@ -178,10 +178,21 @@ def constrain_even(x, spec: P):
 #   none          — everything replicated (DDP / NO_SHARD).
 FSDP_STRATEGIES = ("full", "hybrid_full", "shard_grad_op", "hybrid_zero2",
                    "none")
-_PARAM_AXES = {"full": (DATA_AXIS, SP_AXIS), "hybrid_full": (SP_AXIS,)}
-_MOMENT_AXES = {"full": (DATA_AXIS, SP_AXIS), "hybrid_full": (SP_AXIS,),
-                "shard_grad_op": (DATA_AXIS, SP_AXIS),
-                "hybrid_zero2": (SP_AXIS,)}
+
+
+def _strategy_axes(mesh: Mesh, strategy: str):
+    """Mesh axes a strategy shards over: "full"-style = ALL mesh axes
+    (on a USP ("data","ring","sp") mesh the ring axis counts too — leaving
+    it out would replicate weights x ring for no bandwidth gain);
+    "hybrid"-style = every axis EXCEPT the cross-slice "data" axis."""
+    if strategy in ("full", "shard_grad_op"):
+        return tuple(mesh.axis_names)
+    return tuple(a for a in mesh.axis_names if a != DATA_AXIS)
+
+
+_PARAM_STRATEGIES = ("full", "hybrid_full")
+_MOMENT_STRATEGIES = ("full", "hybrid_full", "shard_grad_op",
+                      "hybrid_zero2")
 
 
 def _fsdp_spec_fn(mesh: Mesh, axes, min_size: int):
@@ -235,7 +246,8 @@ def opt_state_shardings(mesh: Mesh, param_shapes, param_shardings, tx,
     flat_sh = jax.tree_util.tree_leaves(param_shardings)
     by_shape = {(s.shape, s.dtype): sh for s, sh in zip(flat_s, flat_sh)}
     zero2 = strategy in ("shard_grad_op", "hybrid_zero2")
-    moment_spec = (_fsdp_spec_fn(mesh, _MOMENT_AXES[strategy], min_size)
+    moment_spec = (_fsdp_spec_fn(mesh, _strategy_axes(mesh, strategy),
+                                 min_size)
                    if zero2 else None)
 
     def dev_for(s):
@@ -262,7 +274,7 @@ def fsdp_param_sharding(mesh: Mesh, params, min_size: int = 2 ** 16,
     """
     assert strategy in FSDP_STRATEGIES, (
         f"unknown fsdp strategy {strategy!r}; expected {FSDP_STRATEGIES}")
-    if strategy not in _PARAM_AXES:  # zero2-style / none: replicated params
+    if strategy not in _PARAM_STRATEGIES:  # zero2-style / none: replicated
         return jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
-    spec_for = _fsdp_spec_fn(mesh, _PARAM_AXES[strategy], min_size)
+    spec_for = _fsdp_spec_fn(mesh, _strategy_axes(mesh, strategy), min_size)
     return jax.tree.map(spec_for, params)

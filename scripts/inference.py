@@ -409,6 +409,19 @@ def main(argv=None):
                              devices=jax.devices()[: (n_dev // sp) * sp])
         policy = shd.ShardingPolicy() if mesh.devices.size > 1 else None
 
+    if mesh.devices.size > 1:
+        # the reference's inference FSDP (fsdp.py:10-32 shard_model,
+        # param_dtype=bf16): cast fp32 weights to bf16 and shard them over
+        # ALL mesh axes — 14B bf16 replicated would not fit a 16 GB chip,
+        # and sharded params also stop the sampling jit from embedding the
+        # tree as HLO literals (the remote-compiler >100 MB upload limit)
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, params)
+        with jax.set_mesh(mesh):
+            params = jax.device_put(params,
+                                    shd.fsdp_param_sharding(mesh, params))
+
     def load_or_zeros(path, shape):
         if path and os.path.exists(path):
             a = np.load(path)
