@@ -22,15 +22,73 @@ from hyvideo_prfl_tpu.parallel import sharding as shd  # noqa: E402
 def maybe_init_distributed():
     """Multi-host rendezvous: jax.distributed.initialize when launched under
     a pod scheduler (replaces torchrun's RANK/WORLD_SIZE env rendezvous,
-    SURVEY.md 2.8 P10). No-op for single-host runs."""
+    SURVEY.md 2.8 P10). No-op for single-host runs.
+
+    On TPU pods jax.distributed.initialize() self-discovers the topology;
+    generic launchers (torchrun-style) instead export
+    JAX_COORDINATOR_ADDRESS + JAX_NUM_PROCESSES + JAX_PROCESS_ID, which we
+    forward explicitly (this is also how tests/test_multihost_pod.py runs a
+    REAL 2-process pod over CPU Gloo collectives)."""
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
             "MEGASCALE_COORDINATOR_ADDRESS"):
+        kwargs = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kwargs = dict(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
         try:
-            jax.distributed.initialize()
+            jax.distributed.initialize(**kwargs)
             logging.info("jax.distributed initialized: process %d/%d",
                          jax.process_index(), jax.process_count())
         except Exception as e:  # already initialized / single host
             logging.info("jax.distributed.initialize skipped: %s", e)
+
+
+def fetch_full(tree):
+    """Full host copy of a (possibly cross-process sharded) array tree.
+
+    Single-controller: plain device_get. Multi-host pods: every process
+    participates in a process_allgather (collective — call from ALL
+    processes, then gate the file writes on jax.process_index()==0). This
+    is the FSDP FULL_STATE_DICT + rank0-save analog of the reference's
+    model_utils.py:38-67 / fsdp_utils.py state_dict gathering."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(tree, tiled=True)
+    return jax.device_get(tree)
+
+
+def _pod_warmup(mesh):
+    """Create the cross-process communicator contexts BEFORE the first big
+    dispatch. XLA CPU's Gloo rendezvous has a hard 30 s key-value timeout
+    that only applies to context CREATION (later collectives reuse the
+    connected context — verified empirically with a 45 s-skewed collective
+    after warmup); without this, per-process compile-time variance on the
+    first train step (minutes, load-dependent) desyncs the first
+    collective's rendezvous and kills the pod. The coordination-service
+    barrier (pure RPC, no data plane) aligns the warmup dispatch itself."""
+    if jax.process_count() <= 1:
+        return
+    import numpy as np
+    from jax._src import distributed
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    client = getattr(distributed.global_state, "client", None)
+    if client is not None:
+        client.wait_at_barrier("hyv_pod_warmup", 600_000)
+    import jax.numpy as jnp
+
+    x = jax.device_put(
+        np.arange(mesh.devices.size, dtype=np.float32),
+        NamedSharding(mesh, P(mesh.axis_names)))
+    got = float(jax.jit(jnp.sum)(x))
+    want = mesh.devices.size * (mesh.devices.size - 1) / 2.0
+    assert got == want, f"pod warmup collective wrong: {got} != {want}"
+    logging.info("pod warmup collective OK across %d processes",
+                 jax.process_count())
 
 
 def build_mesh(config):
@@ -38,7 +96,10 @@ def build_mesh(config):
     n_dev = len(jax.devices())
     sp = max(1, min(int(config.dataset.sp_size), n_dev))
     data = n_dev // sp
-    return shd.make_mesh(data=data, sp=sp, devices=jax.devices()[: data * sp])
+    mesh = shd.make_mesh(data=data, sp=sp,
+                         devices=jax.devices()[: data * sp])
+    _pod_warmup(mesh)
+    return mesh
 
 
 def fsdp_strategy_from(config) -> str:
@@ -220,10 +281,15 @@ class StepTimer:
 
 
 class MetricLogger:
-    """log.txt + TensorBoard scalars (train_prfl.py:1036-1081)."""
+    """log.txt + TensorBoard scalars (train_prfl.py:1036-1081). On pods
+    only process 0 writes (the reference's rank-gated main_print /
+    SummaryWriter, train_prfl.py:76-80,1036); other processes still format
+    to their own stderr logger but own no files."""
 
     def __init__(self, log_dir):
         self.writer = None
+        if jax.process_index() != 0:
+            return
         os.makedirs(log_dir, exist_ok=True)
         # append-only text log like the reference's log.txt
         fh = logging.FileHandler(os.path.join(log_dir, "log.txt"))
@@ -245,7 +311,7 @@ class MetricLogger:
 
 
 def batched_eval(jitted_eval, trainable, frozen, dataset, timesteps, seed,
-                 batch_size=8, max_samples=None):
+                 batch_size=8, max_samples=None, put=None):
     """Shape-bucketed, [B]-batched PAVRM eval (VERDICT r2 item 5).
 
     The reference batches its val loop and all_gathers predictions
@@ -278,7 +344,12 @@ def batched_eval(jitted_eval, trainable, frozen, dataset, timesteps, seed,
                 if pad:
                     arr = np.concatenate(
                         [arr, np.repeat(arr[-1:], pad, axis=0)])
-                return jnp.asarray(arr)
+                # pods: batches must be GLOBAL (replicated) arrays — every
+                # process builds the identical batch (deterministic dataset
+                # order) and `put` places it with a replicated
+                # NamedSharding; a process-local jnp.asarray would clash
+                # with the cross-process params inside the jit
+                return put(arr) if put is not None else jnp.asarray(arr)
 
             batch = {k: stack(k) for k in chunk[0]
                      if not isinstance(chunk[0][k], str) and k != "labels"}

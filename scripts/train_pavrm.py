@@ -156,11 +156,19 @@ def main(config, max_steps=None):
 
     def run_eval(state, jitted_eval):
         """Per-timestep val metrics at save_interval (train_pavrm.py:1342-1354),
-        [B]-batched over shape buckets (one data pass, few dispatches)."""
+        [B]-batched over shape buckets (one data pass, few dispatches). On
+        pods every process runs the identical eval (deterministic dataset
+        order) with batches placed replicated on the global mesh."""
+        put = None
+        if jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            put = lambda a: jax.device_put(a, rep)  # noqa: E731
         results = batched_eval(
             jitted_eval, state.params, frozen, val_dataset,
             list(config.eval.timestep), config.eval.seed,
-            batch_size=int(config.eval.get("batch_size") or 8))
+            batch_size=int(config.eval.get("batch_size") or 8), put=put)
         for t_val in config.eval.timestep:
             probs, labels = results[float(t_val)]
             m = classification_metrics(np.asarray(probs), np.asarray(labels))
@@ -171,7 +179,12 @@ def main(config, max_steps=None):
             step_fn, donate_argnums=(0,),
             out_shardings=(state_shardings, None) if state_shardings
             else None)
-        jitted_eval = jax.jit(eval_fn, static_argnums=(4,))
+        # pin replicated outputs under a mesh so np.asarray of the probs is
+        # addressable on every process (pods) and cheap on one
+        ev_out = (jax.NamedSharding(mesh, jax.P())
+                  if mesh.devices.size > 1 else None)
+        jitted_eval = jax.jit(eval_fn, static_argnums=(4,),
+                              out_shardings=ev_out)
         timer = StepTimer()
         n_steps = max_steps or config.optimizer.max_train_steps
         for step in range(start_step, n_steps):
@@ -190,7 +203,14 @@ def main(config, max_steps=None):
                     logging.error("NON-FINITE PARAMS: %s", health["bad"][:5])
             if (step + 1) % config.train.save_interval == 0:
                 path = os.path.join(out_dir, f"checkpoint-{step + 1}")
-                ck.save_orbax(path, jax.device_get(state.params))
+                if jax.process_count() > 1:
+                    # pods: pass the LIVE sharded arrays — orbax writes
+                    # per-host shards and barriers internally, so ALL
+                    # processes must make the same save call (device_get
+                    # of a cross-process array would throw)
+                    ck.save_orbax(path, state.params)
+                else:
+                    ck.save_orbax(path, jax.device_get(state.params))
                 if config.train.get("save_optimizer_state"):
                     # AdamW moments for exact resume (sharded arrays are
                     # written per-host by orbax; with offload_opt_state

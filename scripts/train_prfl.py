@@ -23,8 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from scripts._common import (
-    MetricLogger, StepTimer, build_mesh, dit_cfg_from, fsdp_strategy_from,
-    make_sharded_state, make_train_loader,
+    MetricLogger, StepTimer, build_mesh, dit_cfg_from, fetch_full,
+    fsdp_strategy_from, make_sharded_state, make_train_loader,
 )
 from hyvideo_prfl_tpu.configs import load_config
 from hyvideo_prfl_tpu.data.dataset import LatentCacheDataset
@@ -225,9 +225,14 @@ def main(config, max_steps=None):
         interval = config.train.sanity_check_interval
         if interval <= 0 or step > 50 or step % interval != 0:
             return
-        os.makedirs(sanity_dir, exist_ok=True)
+        is_main = jax.process_index() == 0
+        if is_main:
+            os.makedirs(sanity_dir, exist_ok=True)
         for name in ("pred_x0", "latent_next"):
-            lat = np.asarray(m_refl[name])
+            # collective fetch on pods — run on every process, write on 0
+            lat = np.asarray(fetch_full(m_refl[name]))
+            if not is_main:
+                continue
             if not have_vae:
                 np.save(os.path.join(sanity_dir, f"step{step}_{name}.npy"),
                         lat)
@@ -301,39 +306,48 @@ def main(config, max_steps=None):
                 if not health["finite"]:
                     logging.error("NON-FINITE PARAMS: %s", health["bad"][:5])
             if (step + 1) % config.train.save_interval == 0:
-                if use_lora:
+                # reference-format file writes happen on process 0 only;
+                # fetch_full is a collective (allgather on pods), so every
+                # process runs the fetches (FULL_STATE_DICT rank0-save,
+                # model_utils.py:38-67)
+                full_train = fetch_full(state.params)
+                is_main = jax.process_index() == 0
+                if use_lora and is_main:
                     # export merged weights + LoRA-only state dicts in all
                     # three reference formats (model_utils.py:38-67)
-                    merged = lora_mod.apply_lora(params, jax.device_get(state.params))
+                    merged = lora_mod.apply_lora(params, full_train)
                     ck.save_wan_checkpoint(merged, dit_cfg, out_dir,
                                            step=step + 1)
                     import safetensors.numpy as stnp
                     for fmt in ("transformer", "kohya", "diffusers"):
                         stnp.save_file(
                             lora_mod.lora_state_dict(
-                                jax.device_get(state.params), fmt,
+                                full_train, fmt,
                                 head_dim=dit_cfg.head_dim),
                             os.path.join(out_dir, f"checkpoint-{step + 1}",
                                          f"lora_{fmt}.safetensors"))
-                else:
-                    ck.save_wan_checkpoint(
-                        jax.device_get(state.params), dit_cfg, out_dir,
-                        step=step + 1)
+                elif is_main:
+                    ck.save_wan_checkpoint(full_train, dit_cfg, out_dir,
+                                           step=step + 1)
                 if config.train.get("save_optimizer_state") and not use_lora:
                     # AdamW moments for exact resume (beyond the
                     # reference, which restarts the optimizer from zero).
                     # LoRA runs resume through resume_lora_path, which the
                     # opt-restore path does not cover — skip the write
-                    # rather than produce an unrestorable artifact
+                    # rather than produce an unrestorable artifact.
+                    # Live (sharded) arrays: orbax writes per-host shards
+                    # and barriers internally — ALL processes must call
                     ck.save_orbax(
                         os.path.join(out_dir, f"checkpoint-{step + 1}",
                                      "opt_state"), state.opt_state)
                 if use_ema:
-                    ema_full = (lora_mod.apply_lora(params,
-                                                    jax.device_get(ema_params))
-                                if use_lora else jax.device_get(ema_params))
-                    ck.save_wan_checkpoint(
-                        ema_full, dit_cfg, out_dir + "-ema", step=step + 1)
+                    ema_host = fetch_full(ema_params)
+                    if is_main:
+                        ema_full = (lora_mod.apply_lora(params, ema_host)
+                                    if use_lora else ema_host)
+                        ck.save_wan_checkpoint(ema_full, dit_cfg,
+                                               out_dir + "-ema",
+                                               step=step + 1)
                 logging.info("saved checkpoint-%d", step + 1)
     return state
 
