@@ -103,6 +103,8 @@ class Collective:
     is_async: bool           # emitted as start/done pair (overlappable)
     computation: str
     replica_groups: Optional[List[List[int]]] = None
+    channel_id: Optional[int] = None
+    chained: bool = False     # carries async_collective_fusion_config flags
 
     def wire_bytes(self) -> float:
         g = max(self.group_size, 1)
@@ -323,6 +325,7 @@ def collect(hlo: str) -> Tuple[List[Collective], List[str]]:
             if base == "collective-permute" and groups is None:
                 # permutes carry source_target_pairs instead
                 gsize = 2 if "source_target_pairs" in line else 1
+            chan = re.search(r"channel_id=(\d+)", line)
             cols.append(Collective(
                 op=base, bytes=max(sizes), group_size=gsize, count=cmult,
                 # overlappable: explicit async start/done, reachable from a
@@ -331,8 +334,52 @@ def collect(hlo: str) -> Tuple[List[Collective], List[str]]:
                 # under partial matmuls inside the kOutput fusion itself)
                 is_async=(op.endswith("-start") or name in async_called
                           or name.startswith("async_collective_fusion")),
-                computation=name, replica_groups=groups))
-    return cols, warnings
+                computation=name, replica_groups=groups,
+                channel_id=int(chan.group(1)) if chan else None,
+                chained='"flag_start"' in line))
+    return _dedup_channels(cols), warnings
+
+
+def _dedup_channels(cols: List[Collective]) -> List[Collective]:
+    """Merge phase copies of one logical collective (VERDICT r3 item 2
+    accuracy fix, found auditing the 14B serving HLO: the TPU collective
+    pipeliner splits a loop-sunk all-gather into prologue / body / epilogue
+    copies — up to 18 per channel in the SFT step — that all carry the SAME
+    channel_id and the FULL result shape, so a naive per-instruction count
+    multiplies the traffic ~3-8x and mislabels it sync).
+
+    Caveat (observed in the same HLOs): channel ids are NOT unique for
+    shard_map manual collectives — the Ulysses body's three qkv all-to-alls
+    and the out all-to-all ALL carry channel_id=1 inside one computation,
+    and the SFT backward loop's a2as reuse channel 1 again. Those are
+    distinct sequential collectives, not phase copies. The reliable
+    fingerprint: pipeliner chain copies carry an
+    `async_collective_fusion_config` flag block in their backend_config
+    (`flag_start=-1` on the prologue copy, chained values on the rest);
+    plain collectives carry none. So ONLY flagged copies merge — grouped
+    by (channel, op, bytes, group_size), counts summed within each
+    computation (wide-loop unroll copies), max across computations (= the
+    body copy; prologue/epilogue absorbed). Merged copies are pipelined by
+    construction, hence overlappable. Verified on the 14B fwd/sft/usp
+    HLOs: no flagged channel spans more than one loop context, so the
+    max-across rule never collapses fwd-loop with bwd-loop traffic."""
+    by_chan: Dict[Tuple[int, str, int, int], List[Collective]] = {}
+    out: List[Collective] = []
+    for c in cols:
+        if c.channel_id is None or not c.chained:
+            out.append(c)
+        else:
+            key = (c.channel_id, c.op, c.bytes, c.group_size)
+            by_chan.setdefault(key, []).append(c)
+    for key, copies in sorted(by_chan.items()):
+        per_comp: Dict[str, float] = {}
+        for c in copies:
+            per_comp[c.computation] = per_comp.get(c.computation, 0.0) \
+                + c.count
+        count = max(per_comp.values())
+        best = max(copies, key=lambda c: (c.count, c.bytes))
+        out.append(dataclasses.replace(best, count=count, is_async=True))
+    return out
 
 
 # --- wire-time model ---------------------------------------------------------
@@ -363,3 +410,39 @@ def collective_seconds(cols: List[Collective], link_gbps: float) -> Dict:
             overlappable_s += s
     return {"per_op": per_op, "total_seconds": total_s,
             "async_overlappable_seconds": overlappable_s}
+
+
+def top_sites(cols: List[Collective], link_gbps: float,
+              n: int = 10) -> List[Dict]:
+    """The n collective SITES dominating wire traffic (attribution: which
+    tensors the step actually moves). Sites are merged by (op, buffer
+    bytes, group size) — e.g. every layer's all-gather of the same-shape
+    weight is one row — and reported with their share of the total."""
+    merged: Dict[Tuple[str, int, int], Dict] = {}
+    for c in cols:
+        key = (c.op, c.bytes, c.group_size)
+        d = merged.setdefault(key, {
+            "op": c.op, "buffer_bytes": c.bytes, "group_size": c.group_size,
+            "count": 0.0, "wire_bytes": 0.0, "async_wire": 0.0,
+            "computations": set()})
+        d["count"] += c.count
+        w = c.wire_bytes() * c.count
+        d["wire_bytes"] += w
+        if c.is_async:
+            d["async_wire"] += w
+        d["computations"].add(c.computation)
+    total_wire = sum(d["wire_bytes"] for d in merged.values()) or 1.0
+    rows = sorted(merged.values(), key=lambda d: -d["wire_bytes"])[:n]
+    out = []
+    for d in rows:
+        out.append({
+            "op": d["op"], "buffer_bytes": int(d["buffer_bytes"]),
+            "group_size": d["group_size"], "count": d["count"],
+            "wire_bytes": round(d["wire_bytes"]),
+            "seconds": round(d["wire_bytes"] / (2.0 * link_gbps * 1e9), 6),
+            "share_pct": round(100.0 * d["wire_bytes"] / total_wire, 2),
+            "overlapped_pct": round(
+                100.0 * d["async_wire"] / max(d["wire_bytes"], 1.0), 1),
+            "example_computation": sorted(d["computations"])[0],
+        })
+    return out

@@ -221,6 +221,7 @@ def _child(stage: str, out_path: str) -> None:
         "total_seconds": round(model_out["total_seconds"], 6),
         "async_overlappable_seconds": round(
             model_out["async_overlappable_seconds"], 6),
+        "top_sites": hlo_comm.top_sites(cols, link),
     }
     with open(out_path, "w") as fobj:
         json.dump(result, fobj, indent=2)
@@ -251,6 +252,7 @@ def reparse_stage(stage: str, out_dir: str) -> dict:
         "total_seconds": round(model_out["total_seconds"], 6),
         "async_overlappable_seconds": round(
             model_out["async_overlappable_seconds"], 6),
+        "top_sites": hlo_comm.top_sites(cols, link),
     }
     with open(os.path.join(out_dir, f"comm_{stage}.json"), "w") as fobj:
         json.dump(result, fobj, indent=2)
@@ -282,7 +284,14 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     stages = args.stages or list(STAGES)
 
+    # partial runs (one stage) merge into the existing audit rather than
+    # dropping the other stages' rows
     results = {}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prev_path = os.path.join(repo, "COMM_AUDIT.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as fobj:
+            results.update(json.load(fobj).get("stages", {}))
     for s in stages:
         if args.reparse:
             results[s] = reparse_stage(s, args.out)

@@ -84,6 +84,89 @@ def test_synthetic_inventory():
         ar.wire_bytes() / (2 * 100e9))
 
 
+SYNTH_PHASES = """\
+HloModule jit_g, entry_computation_layout={(bf16[8,256]{1,0})->bf16[8,256]{1,0}}
+
+%loop_cond (p: (s32[], bf16[8,256])) -> pred[] {
+  %p = (s32[], bf16[8,256]{1,0}) parameter(0)
+  %i = s32[] get-tuple-element((s32[], bf16[8,256]{1,0}) %p), index=0
+  %bound = s32[] constant(40)
+  ROOT %lt = pred[] compare(s32[] %i, s32[] %bound), direction=LT
+}
+
+%phase_a (q: bf16[8,256]) -> bf16[8,256] {
+  %q = bf16[8,256]{1,0} parameter(0)
+  ROOT %ag = bf16[8,256]{1,0} all-gather(bf16[8,256]{1,0} %q), channel_id=7, replica_groups={{0,1,2,3}}, dimensions={0}, backend_config={"async_collective_fusion_config":{"flag_start":"2","flag_end":"24"}}
+}
+
+%phase_b (q: bf16[8,256]) -> bf16[8,256] {
+  %q = bf16[8,256]{1,0} parameter(0)
+  ROOT %ag = bf16[8,256]{1,0} all-gather(bf16[8,256]{1,0} %q), channel_id=7, replica_groups={{0,1,2,3}}, dimensions={0}, backend_config={"async_collective_fusion_config":{"flag_start":"2","flag_end":"24"}}
+}
+
+%loop_body (p: (s32[], bf16[8,256])) -> (s32[], bf16[8,256]) {
+  %p = (s32[], bf16[8,256]{1,0}) parameter(0)
+  %i = s32[] get-tuple-element((s32[], bf16[8,256]{1,0}) %p), index=0
+  %x = bf16[8,256]{1,0} get-tuple-element((s32[], bf16[8,256]{1,0}) %p), index=1
+  %one = s32[] constant(1)
+  %i2 = s32[] add(s32[] %i, s32[] %one)
+  %xa = bf16[8,256]{1,0} fusion(bf16[8,256]{1,0} %x), kind=kOutput, calls=%phase_a
+  %xb = bf16[8,256]{1,0} fusion(bf16[8,256]{1,0} %xa), kind=kOutput, calls=%phase_b
+  ROOT %t = (s32[], bf16[8,256]{1,0}) tuple(s32[] %i2, bf16[8,256]{1,0} %xb)
+}
+
+ENTRY %main (arg: bf16[8,256]) -> bf16[8,256] {
+  %arg = bf16[8,256]{1,0} parameter(0)
+  %pro = bf16[8,256]{1,0} all-gather(bf16[8,256]{1,0} %arg), channel_id=7, replica_groups={{0,1,2,3}}, dimensions={0}, backend_config={"async_collective_fusion_config":{"flag_start":"-1","flag_end":"-1"}}
+  %lone = bf16[8,256]{1,0} all-gather(bf16[8,256]{1,0} %pro), channel_id=9, replica_groups={{0,1,2,3}}, dimensions={0}
+  %init_i = s32[] constant(0)
+  %init = (s32[], bf16[8,256]{1,0}) tuple(s32[] %init_i, bf16[8,256]{1,0} %lone)
+  %w = (s32[], bf16[8,256]{1,0}) while((s32[], bf16[8,256]{1,0}) %init), condition=%loop_cond, body=%loop_body
+  ROOT %xw = bf16[8,256]{1,0} get-tuple-element((s32[], bf16[8,256]{1,0}) %w), index=1
+}
+"""
+
+
+def test_channel_phase_copy_dedup():
+    """The collective pipeliner's phase copies (same channel_id, full
+    result shape, `async_collective_fusion_config` flags in the
+    backend_config, spread across prologue/body computations — observed
+    3-18 copies per channel in the real 14B HLOs) must merge to ONE
+    logical collective with the body's executions-per-step, marked
+    overlappable. Unflagged collectives must NOT merge even when they
+    share a channel id (shard_map manual collectives reuse channel 1)."""
+    cols, warnings = hlo_comm.collect(SYNTH_PHASES)
+    assert not warnings
+    ch7 = [c for c in cols if c.channel_id == 7]
+    assert len(ch7) == 1, ch7
+    # prologue x1 + phase_a x40 + phase_b x40 -> logical count = 40, NOT 81
+    assert ch7[0].count == 40.0
+    assert ch7[0].is_async  # pipelined by construction
+    assert ch7[0].bytes == 8 * 256 * 2
+    # an unflagged channel stays untouched (and keeps its sync marking)
+    ch9 = [c for c in cols if c.channel_id == 9]
+    assert len(ch9) == 1 and ch9[0].count == 1.0 and not ch9[0].is_async
+
+
+def test_unflagged_channel_reuse_not_merged():
+    """shard_map a2a channel reuse: two flag-less all-to-alls sharing
+    channel_id=1 in one body are distinct sequential collectives — both
+    must be counted, neither marked overlappable."""
+    hlo = SYNTH.replace(
+        "%a2a = f32[8,16]{1,0} all-to-all(f32[8,16]{1,0} %x), "
+        "replica_groups={{0,1,2,3},{4,5,6,7}}, dimensions={0}",
+        "%a2a0 = f32[8,16]{1,0} all-to-all(f32[8,16]{1,0} %x), "
+        "channel_id=1, replica_groups={{0,1,2,3},{4,5,6,7}}, dimensions={0}\n"
+        "  %a2a = f32[8,16]{1,0} all-to-all(f32[8,16]{1,0} %a2a0), "
+        "channel_id=1, replica_groups={{0,1,2,3},{4,5,6,7}}, dimensions={0}")
+    cols, warnings = hlo_comm.collect(hlo)
+    assert not warnings
+    a2a = [c for c in cols if c.op == "all-to-all"]
+    assert len(a2a) == 2
+    assert sum(c.count for c in a2a) == 10.0  # 2 per trip x 5 trips
+    assert not any(c.is_async for c in a2a)
+
+
 def test_replica_group_formats():
     lit = hlo_comm.parse_replica_groups("replica_groups={{0,2},{1,3}}")
     assert lit == [[0, 2], [1, 3]]
