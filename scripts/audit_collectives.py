@@ -13,6 +13,12 @@ Stages (each in a fresh subprocess with the chipless-AOT env):
   fwd  — one 14B i2v model forward (the rollout/serving velocity unit) on
          the v5p:2x2x2 (data=2, sp=4) training mesh
   sft  — the full 14B SFT train step (fwd+bwd+optimizer) on the same mesh
+  sft_hybrid — the same SFT step under fsdp strategy hybrid_full (params
+         sharded on the intra-slice "sp" axis only); with the "data" axis
+         read as the DCN-connected slice boundary, the per-stage `domains`
+         block prices ICI vs DCN traffic — quantifying what hybrid
+         sharding saves on multi-slice pods (reference HYBRID_SHARD,
+         fsdp_utils.py:86-96)
   usp  — the 14B i2v CFG UniPC-40 serving chain under USP ring=2 x
          ulysses=4 on a chipless v5e:2x4
 
@@ -39,7 +45,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-STAGES = ("fwd", "sft", "usp")
+STAGES = ("fwd", "sft", "sft_hybrid", "usp")
 MID_MEAN = 19.0
 LRM_FRAC = 8.0 / 40.0
 
@@ -143,9 +149,10 @@ def _child(stage: str, out_path: str) -> None:
         chip = "v5p"
         cfg = wan_dit.i2v_14b(remat=True, remat_policy="attn")
         policy = shd.ShardingPolicy(shard_map_ulysses=True)
+        strategy = "hybrid_full" if stage == "sft_hybrid" else "full"
         pshapes = jax.eval_shape(
             lambda: wan_dit.init_params(cfg, jax.random.PRNGKey(0)))
-        pshard = shd.fsdp_param_sharding(mesh, pshapes)
+        pshard = shd.fsdp_param_sharding(mesh, pshapes, strategy=strategy)
         params_abs = jax.tree.map(sds, pshapes, pshard)
         b, f, hh, ww = 2, 21, 90, 160
         bsh = NamedSharding(mesh, P("data"))
@@ -179,7 +186,7 @@ def _child(stage: str, out_path: str) -> None:
                     params_abs, x_abs, t_abs, txt_abs, y_abs, clip_abs
                 ).compile()
             per_exec = 1.0
-        else:  # sft
+        else:  # sft / sft_hybrid
             pc = PavrmConfig(loss="ce", feature_layer=(20,),
                              trainable_blocks=())
             prfl_cfg = PrflConfig(inference_steps=40, flow_shift=5.0,
@@ -187,7 +194,8 @@ def _child(stage: str, out_path: str) -> None:
             model = PrflModel(cfg, pc, prfl_cfg, policy)
             tx = common.make_optimizer(learning_rate=1e-6)
             opt_shapes = jax.eval_shape(tx.init, pshapes)
-            opt_dev, _ = shd.opt_state_shardings(mesh, pshapes, pshard, tx)
+            opt_dev, _ = shd.opt_state_shardings(mesh, pshapes, pshard, tx,
+                                                 strategy=strategy)
             opt_abs = jax.tree.map(sds, opt_shapes, opt_dev)
             rep = NamedSharding(mesh, P())
             state_abs = common.TrainState(
@@ -196,7 +204,22 @@ def _child(stage: str, out_path: str) -> None:
             batch_abs = {"latents": lat_abs, "cond": cond_abs,
                          "clip_fea": clip_abs, "text": txt_abs}
             rng_abs = jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rep)
-            step = make_sft_step(model, tx, fm.train_schedule(1000))
+            # hybrid_full shards params over sp only (4 devices, not 8):
+            # at 14B that doubles resident params+moments and blows the
+            # 95 GB chipless budget, so the hybrid stage audits the
+            # configuration a hybrid pod would actually run — AdamW
+            # moments offloaded to pinned host (the reference pairs
+            # HYBRID_SHARD with its CPU offload the same way). Offload
+            # moves no collectives, so the comm inventory is unaffected.
+            opt_transfer = None
+            if stage == "sft_hybrid":
+                _, opt_host = shd.opt_state_shardings(
+                    mesh, pshapes, pshard, tx, strategy=strategy)
+                opt_abs = jax.tree.map(sds, opt_shapes, opt_host)
+                state_abs = state_abs.replace(opt_state=opt_abs)
+                opt_transfer = (opt_dev, opt_host)
+            step = make_sft_step(model, tx, fm.train_schedule(1000),
+                                 opt_transfer=opt_transfer)
             with jax.set_mesh(mesh):
                 compiled = jax.jit(step, donate_argnums=(0,)).lower(
                     state_abs, batch_abs, rng_abs).compile()
@@ -223,6 +246,14 @@ def _child(stage: str, out_path: str) -> None:
             model_out["async_overlappable_seconds"], 6),
         "top_sites": hlo_comm.top_sites(cols, link),
     }
+    if mesh.shape.get("data", 1) > 1:
+        # the "data" axis read as the DCN-connected slice boundary:
+        # global HLO device ids follow the mesh device-array order
+        flat = [d.id for d in mesh.devices.reshape(mesh.shape["data"], -1)
+                .flatten()]
+        per_slice = len(flat) // mesh.shape["data"]
+        slice_of = {i: k // per_slice for k, i in enumerate(flat)}
+        result["domains"] = hlo_comm.domain_split(cols, slice_of, link)
     with open(out_path, "w") as fobj:
         json.dump(result, fobj, indent=2)
     print(json.dumps({"stage": stage, "done": True,
@@ -242,6 +273,10 @@ def reparse_stage(stage: str, out_dir: str) -> dict:
     cols, warnings = hlo_comm.collect(hlo)
     link = hlo_comm.ICI_GBPS[chip]
     model_out = hlo_comm.collective_seconds(cols, link)
+    domains = None
+    if stage != "usp":  # (data=2, sp=4) mesh: ids 0-3 slice 0, 4-7 slice 1
+        domains = hlo_comm.domain_split(cols, {i: i // 4 for i in range(8)},
+                                        link)
     result = {
         "stage": stage, "chip": chip, "link_gbps_per_dir": link,
         "per_exec": 1.0, "hlo_bytes": len(hlo),
@@ -254,6 +289,8 @@ def reparse_stage(stage: str, out_dir: str) -> dict:
             model_out["async_overlappable_seconds"], 6),
         "top_sites": hlo_comm.top_sites(cols, link),
     }
+    if domains is not None:
+        result["domains"] = domains
     with open(os.path.join(out_dir, f"comm_{stage}.json"), "w") as fobj:
         json.dump(result, fobj, indent=2)
     return result
@@ -307,6 +344,14 @@ def main():
               f"(async-overlappable "
               f"{results[s]['async_overlappable_seconds']*1e3:.2f} ms)",
               flush=True)
+        dom = results[s].get("domains")
+        if dom:
+            print(f"  domains: ici {dom['ici_seconds']*1e3:.2f} ms | dcn "
+                  f"{dom['dcn_wire_bytes']/2**30:.2f} GiB = "
+                  f"{dom['dcn_seconds']*1e3:.2f} ms @ "
+                  f"{dom['dcn_gbps_per_host']} GB/s/host "
+                  f"({dom['n_cross_slice_sites']} cross-slice sites)",
+                  flush=True)
 
     out = {"stages": results}
     # compose into the refl step and restate BENCH_COMPOSED as an interval

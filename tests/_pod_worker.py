@@ -24,9 +24,41 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def usp_sample():
+    """USP (ring x ulysses) CFG sampling with the RING axis laid across
+    the process boundary: ring=2 x ulysses=4 over 2 processes x 4 local
+    devices puts every K/V ring rotation (ppermute) and the attention
+    output's ring merge on the cross-process wire — the serving analog of
+    a multi-host xfuser deployment (inference_prfl.py:71-82). Returns a
+    replicated latent checksum; the test compares it against the SAME
+    program run single-process on 8 local devices."""
+    import jax
+    import jax.numpy as jnp
+
+    from hyvideo_prfl_tpu.models import wan_dit
+    from hyvideo_prfl_tpu.parallel import sharding as shd
+    from hyvideo_prfl_tpu.pipelines.pipeline import GenerateConfig, WanT2V
+
+    # fp32 so pod-vs-single is reduction-order noise, not bf16 compounding
+    cfg = wan_dit.tiny_test(remat=False, compute_dtype=jnp.float32,
+                            num_heads=4)
+    params = wan_dit.init_params(cfg, jax.random.PRNGKey(0))
+    ctx = jax.random.normal(
+        jax.random.PRNGKey(1), (1, cfg.text_len, cfg.text_dim)) * 0.1
+    gen = GenerateConfig(sampling_steps=3, shift=3.0)
+    mesh = shd.make_usp_mesh(data=1, ring=2, ulysses=4,
+                             devices=jax.devices())
+    with jax.set_mesh(mesh):
+        pipe = WanT2V(cfg, params, shd.usp_policy())
+        lat = pipe.generate(jax.random.PRNGKey(2), ctx,
+                            jnp.zeros_like(ctx), 4, 8, 8, gen)
+        return float(jnp.sum(jnp.abs(lat))), 0
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--trainer", choices=("prfl", "pavrm"), required=True)
+    p.add_argument("--trainer", choices=("prfl", "pavrm", "usp_sample"),
+                   required=True)
     p.add_argument("--config", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--max_steps", type=int, default=2)
@@ -43,6 +75,18 @@ def main():
     nproc = int(os.environ["JAX_NUM_PROCESSES"])
     assert jax.process_count() == nproc, (
         f"rendezvous failed: process_count={jax.process_count()} != {nproc}")
+
+    if args.trainer == "usp_sample":
+        checksum, step = usp_sample()
+        print("POD_RESULT " + json.dumps({
+            "process": jax.process_index(),
+            "n_processes": jax.process_count(),
+            "n_global_devices": len(jax.devices()),
+            "n_local_devices": len(jax.local_devices()),
+            "step": step,
+            "checksum": checksum,
+        }), flush=True)
+        return
 
     from hyvideo_prfl_tpu.configs import load_config
 

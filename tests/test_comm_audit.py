@@ -167,6 +167,42 @@ def test_unflagged_channel_reuse_not_merged():
     assert not any(c.is_async for c in a2a)
 
 
+def test_domain_split_ici_vs_dcn():
+    """Multi-slice pricing (COMM_AUDIT `domains`): a collective confined
+    to one slice is pure ICI; one spanning slices pays the hierarchical
+    DCN term at the per-host single-direction bandwidth."""
+    slice_of = {i: i // 4 for i in range(8)}  # 2 slices x 4 chips
+    mk = hlo_comm.Collective
+    intra = mk(op="all-gather", bytes=1 << 20, group_size=4, count=10.0,
+               is_async=False, computation="c",
+               replica_groups=[[0, 1, 2, 3], [4, 5, 6, 7]])
+    cross = mk(op="all-gather", bytes=1 << 20, group_size=8, count=10.0,
+               is_async=False, computation="c",
+               replica_groups=[[0, 1, 2, 3, 4, 5, 6, 7]])
+    ar = mk(op="all-reduce", bytes=1 << 20, group_size=8, count=2.0,
+            is_async=False, computation="c",
+            replica_groups=[[0, 1, 2, 3, 4, 5, 6, 7]])
+    out = hlo_comm.domain_split([intra, cross, ar], slice_of,
+                                ici_gbps=100.0, dcn_gbps=25.0)
+    B = 1 << 20
+    # intra: pure ICI ring AG over 4
+    ici = B * 3 / 4 * 10 / (2 * 100e9)
+    # cross AG: DCN B*(s-1)/s, ICI (B/s)*(gl-1)/gl
+    dcn = B / 2 * 10 / 25e9
+    ici += (B / 2) * 3 / 4 * 10 / (2 * 100e9)
+    # cross AR: 2x both terms
+    dcn += 2 * (B / 2) * 2 / 25e9
+    ici += 2 * (B / 2) * 3 / 4 * 2 / (2 * 100e9)
+    # domain_split rounds to 6 decimals
+    assert out["dcn_seconds"] == pytest.approx(dcn, abs=1e-6)
+    assert out["ici_seconds"] == pytest.approx(ici, abs=1e-6)
+    assert out["n_cross_slice_sites"] == 2
+    assert out["dcn_wire_bytes"] == pytest.approx(
+        B / 2 * 10 + 2 * (B / 2) * 2)
+    # all cross-slice traffic attributed per op
+    assert set(out["per_op_dcn_wire_bytes"]) == {"all-gather", "all-reduce"}
+
+
 def test_replica_group_formats():
     lit = hlo_comm.parse_replica_groups("replica_groups={{0,2},{1,3}}")
     assert lit == [[0, 2], [1, 3]]

@@ -90,6 +90,23 @@ def test_prfl_pod_2proc(tmp_path):
         assert r["checksum"] == results[0]["checksum"]
 
 
+def test_usp_sampling_pod_matches_single_process(tmp_path):
+    """USP serving with the RING axis across the process boundary:
+    ring=2 x ulysses=4 sampling on a 2-process pod must match the same
+    8-device program run in one process (xfuser multi-host serving
+    analog) — every K/V ring ppermute crosses the pod wire."""
+    pod, _ = run_pod("usp_sample", "configs/smoke_prfl.yaml", tmp_path,
+                     n_proc=2, local_devices=4)
+    single, _ = run_pod("usp_sample", "configs/smoke_prfl.yaml", tmp_path,
+                        n_proc=1, local_devices=8)
+    assert pod[0]["checksum"] == pod[1]["checksum"]
+    assert pod[0]["n_global_devices"] == single[0]["n_global_devices"] == 8
+    # fp32 compute: pod-vs-single differs only by collective reduction
+    # order
+    assert pod[0]["checksum"] == pytest.approx(single[0]["checksum"],
+                                               rel=1e-5)
+
+
 def test_pavrm_pod_2proc_with_save(tmp_path):
     """PAVRM trainer across 2 processes, including the multi-host
     checkpoint save (process_allgather + rank-0 file writes)."""
