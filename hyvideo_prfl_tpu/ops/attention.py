@@ -153,6 +153,27 @@ def dot_product_attention(
     return _xla_attention(q, k, v, k_valid_len, qk_layout)
 
 
+def ulysses_chunks(n_heads: int, sp: int) -> int:
+    """Head-chunking degree for the Ulysses sandwich (HYV_ULYSSES_CHUNKS,
+    default 1 = monolithic). With C > 1 the q/k/v/o all_to_alls are issued
+    per head-chunk so chunk i's attention kernel can overlap chunk i+1's
+    all_to_all — XLA-TPU emits the a2a as async start/done pairs when
+    `LIBTPU_INIT_ARGS=--xla_tpu_enable_async_all_to_all=true` (see
+    parallel/sharding.async_collective_flags), and the compiled schedule
+    then spans flash custom-calls with a2a windows (verified from AOT HLO,
+    tests/test_ulysses_chunked.py). Clamped so every chunk keeps at least
+    one head per device after the a2a; 1 when divisibility fails."""
+    import os
+
+    c = int(os.environ.get("HYV_ULYSSES_CHUNKS", "1"))
+    if c <= 1:
+        return 1
+    c = min(c, n_heads // sp) if sp > 0 else c
+    while c > 1 and (n_heads % (sp * c) != 0):
+        c -= 1
+    return max(c, 1)
+
+
 def ulysses_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -172,6 +193,10 @@ def ulysses_attention(
     and the inverse all_to_all restores token sharding. JAX collectives
     differentiate natively, so this is trainable as-is.
 
+    HYV_ULYSSES_CHUNKS > 1 splits the sandwich over head groups (identical
+    numerics — heads are independent) so the per-chunk a2a can overlap the
+    previous chunk's flash kernel under async-a2a lowering.
+
     Call under jax.set_mesh with a ("data", "sp") mesh; q/k/v must be
     sharded P(data, sp, None, None).
     """
@@ -180,9 +205,11 @@ def ulysses_attention(
 
     mesh = jax.sharding.get_abstract_mesh()
     spec = P(data_axis, sp_axis, None, None)
+    sp = _spec_axis_size(mesh, sp_axis)
+    chunks = ulysses_chunks(q.shape[2], sp)
 
-    def inner(q, k, v):
-        def a2a_heads(x):  # [B, L/sp, N, D] -> [B, L, N/sp, D]
+    def one_chunk(q, k, v):
+        def a2a_heads(x):  # [B, L/sp, Nc, D] -> [B, L, Nc/sp, D]
             return jax.lax.all_to_all(
                 x, sp_axis, split_axis=2, concat_axis=1, tiled=True)
 
@@ -202,6 +229,16 @@ def ulysses_attention(
         # inverse: scatter seq, gather heads
         return jax.lax.all_to_all(
             o, sp_axis, split_axis=1, concat_axis=2, tiled=True)
+
+    def inner(q, k, v):
+        if chunks == 1:
+            return one_chunk(q, k, v)
+        nc = q.shape[2] // chunks
+        outs = [one_chunk(q[:, :, i * nc:(i + 1) * nc],
+                          k[:, :, i * nc:(i + 1) * nc],
+                          v[:, :, i * nc:(i + 1) * nc])
+                for i in range(chunks)]
+        return jnp.concatenate(outs, axis=2)
 
     # check_vma=False: pallas_call outputs carry no varying-mesh-axes
     # annotation, which the vma checker rejects inside shard_map

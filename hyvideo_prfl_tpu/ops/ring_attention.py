@@ -265,12 +265,20 @@ def usp_attention(
     the ring-local sequence, ring attention rotates K/V blocks over the ring
     axis, and the inverse all_to_all restores token sharding. Head count
     must be divisible by the ulysses degree; sequence by ring x ulysses.
+
+    HYV_ULYSSES_CHUNKS > 1 splits the sandwich over head groups (identical
+    numerics) so per-chunk a2a can overlap the previous chunk's ring pass
+    under async-a2a lowering (ops/attention.ulysses_chunks).
     """
+    from .attention import ulysses_chunks
+
     mesh = jax.sharding.get_abstract_mesh()
     spec = P(data_axis, (ring_axis, ulysses_axis), None, None)
+    u = mesh.shape.get(ulysses_axis, 1)
+    chunks = ulysses_chunks(q.shape[2], u)
 
-    def inner(q, k, v):
-        def a2a_heads(x):  # [B, L/(r*u), N, D] -> [B, L/r, N/u, D]
+    def one_chunk(q, k, v):
+        def a2a_heads(x):  # [B, L/(r*u), Nc, D] -> [B, L/r, Nc/u, D]
             return jax.lax.all_to_all(
                 x, ulysses_axis, split_axis=2, concat_axis=1, tiled=True)
 
@@ -278,6 +286,16 @@ def usp_attention(
         o = _ring_inner(qh, kh, vh, ring_axis, bool(bounded_logits))
         return jax.lax.all_to_all(
             o, ulysses_axis, split_axis=1, concat_axis=2, tiled=True)
+
+    def inner(q, k, v):
+        if chunks == 1:
+            return one_chunk(q, k, v)
+        nc = q.shape[2] // chunks
+        outs = [one_chunk(q[:, :, i * nc:(i + 1) * nc],
+                          k[:, :, i * nc:(i + 1) * nc],
+                          v[:, :, i * nc:(i + 1) * nc])
+                for i in range(chunks)]
+        return jnp.concatenate(outs, axis=2)
 
     return jax.shard_map(
         inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,

@@ -26,6 +26,31 @@ DATA_AXIS = "data"
 SP_AXIS = "sp"
 RING_AXIS = "ring"
 
+#: libtpu flags that make XLA-TPU lower all_to_all as async start/done
+#: pairs (and let async collective fusion span Mosaic custom-calls), so
+#: the head-chunked Ulysses sandwich (HYV_ULYSSES_CHUNKS,
+#: ops/attention.ulysses_chunks) can overlap a2a with the flash kernels.
+#: Verified from AOT-compiled HLO: without these the shard_map a2a is
+#: synchronous (COMM_AUDIT round 4); with them + chunking, a2a start/done
+#: windows span flash custom-calls in the final schedule
+#: (tests/test_ulysses_chunked.py).
+ASYNC_COLLECTIVE_FLAGS = (
+    "--xla_tpu_enable_async_all_to_all=true "
+    "--xla_tpu_enable_async_collective_fusion_with_mosaic_custom_call=true"
+)
+
+
+def enable_async_collectives() -> None:
+    """Append ASYNC_COLLECTIVE_FLAGS to LIBTPU_INIT_ARGS. Must run before
+    libtpu is initialized (i.e. before the first jax.devices() on a real
+    TPU); a no-op if the flags are already present."""
+    import os
+
+    cur = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if "--xla_tpu_enable_async_all_to_all" not in cur:
+        os.environ["LIBTPU_INIT_ARGS"] = (
+            cur + " " + ASYNC_COLLECTIVE_FLAGS).strip()
+
 
 def make_mesh(
     data: int = 1,

@@ -241,6 +241,13 @@ def main(config, max_steps=None):
                 lat_file = os.path.join(sanity_dir,
                                         f"step{step}_{name}_latents.npy")
                 np.save(lat_file, lat)
+                child_env = dict(os.environ)
+                if ("axon" in child_env.get("JAX_PLATFORMS", "")
+                        and "PALLAS_AXON_POOL_IPS" not in child_env):
+                    # the axon plugin can't register without its pool IPs
+                    # (e.g. CPU test runs inheriting the shell's
+                    # JAX_PLATFORMS=axon) — fall back to the parent backend
+                    child_env["JAX_PLATFORMS"] = jax.default_backend()
                 r = subprocess.run([
                     sys.executable,
                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -248,7 +255,7 @@ def main(config, max_steps=None):
                     "--latents", lat_file, "--vae_params", vae_path,
                     "--save_file",
                     os.path.join(sanity_dir, f"step{step}_{name}.mp4"),
-                ])
+                ], env=child_env)
                 if r.returncode == 0:
                     os.remove(lat_file)
                 else:

@@ -9,7 +9,11 @@ which takes effect at (lazy) backend initialization.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force (not setdefault): the ambient shell may carry JAX_PLATFORMS=axon,
+# which subprocesses spawned by tests would inherit and then fail to
+# register (the axon plugin needs PALLAS_AXON_POOL_IPS, stripped for tests)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
