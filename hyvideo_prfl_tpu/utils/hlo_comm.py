@@ -49,8 +49,28 @@ COLLECTIVE_OPS = (
 
 _SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 _COMP_RE = re.compile(r"^(ENTRY\s+)?%?([\w\.\-]+)\s*(?:\(|\{)")
-_OP_RE = re.compile(r"=\s*(?:\([^)]*\)|\w+\[[\d,]*\](?:\{[^}]*\})?|\w+\[\])"
-                    r"\s+([a-z][\w\-]*)\(")
+# Opcode of an instruction line: the first lowercase word followed by `(`
+# after the `=`. Matching the result-shape text instead is a trap: async
+# start ops return TUPLES whose layout annotations nest parens
+# (`(bf16[...]{2,0,1:T(8,128)(2,1)}, ..., u32[]{:S(2)})`) — a
+# shape-anchored regex silently drops every collective-permute-start /
+# all-to-all-start in the module (this bug cost the first published audit
+# all of its windowed-gather transport; tests pin the tuple forms now).
+# Shape text cannot produce a false hit: dtypes never precede `(`, tile
+# annotations are uppercase (`T(`, `S(`), and `(2,1)` follows `)`.
+_OPCODE_RE = re.compile(r"\s([a-z][a-z0-9\-]*)\(")
+
+
+def _op_and_shape(line: str) -> Tuple[str, str]:
+    """(opcode, result-shape text) of one instruction line, or ("", "")."""
+    eq = line.find(" = ")
+    if eq < 0:
+        return "", ""
+    rhs = line[eq + 2:]
+    m = _OPCODE_RE.search(rhs)
+    if not m:
+        return "", ""
+    return m.group(1), rhs[:m.start()]
 _CALLEE_RE = re.compile(
     r"(?:to_apply|calls|body|condition)=%?([\w\.\-]+)")
 _BRANCH_RE = re.compile(r"branch_computations=\{([^}]*)\}")
@@ -211,11 +231,8 @@ def collect(hlo: str) -> Tuple[List[Collective], List[str]]:
     for name, lines in comps.items():
         out = []
         for line in lines:
-            mo = _OP_RE.search(line)
-            op = mo.group(1) if mo else ""
-            # while results are tuples whose shape text defeats _OP_RE
-            # (nested layouts); detect the opcode textually
-            if op == "while" or re.search(r"\swhile\(", line):
+            op, _ = _op_and_shape(line)
+            if op == "while":
                 body = re.search(r"body=%?([\w\.\-]+)", line)
                 cond = re.search(r"condition=%?([\w\.\-]+)", line)
                 trip = None
@@ -226,12 +243,12 @@ def collect(hlo: str) -> Tuple[List[Collective], List[str]]:
                         f"while in {name}: trip count unrecovered, using 1")
                     trip = 1
                 # GSPMD collective matmul: a `windowed_dot_general_body_*`
-                # while runs the gather in n_win chunk steps pipelined
-                # under partial matmuls. The in-body collective's result
-                # shape is the FULL buffer (the accumulator), so counting
-                # it x n_win would inflate bytes — the data moved over the
-                # window totals ONE full buffer. Count once, and mark the
-                # body overlapped-by-construction.
+                # while runs the gather/scatter in ring-permute chunk steps
+                # pipelined under partial matmuls. The body's permutes are
+                # synthesized into ONE full-buffer collective per loop
+                # invocation (see the collection loop), so the body itself
+                # counts x1 per invocation and is overlapped by
+                # construction.
                 if body and "windowed_dot_general_body" in body.group(1):
                     trip = 1
                     async_called.add(body.group(1))
@@ -303,28 +320,59 @@ def collect(hlo: str) -> Tuple[List[Collective], List[str]]:
             break
 
     cols: List[Collective] = []
+    has_windowed = any("windowed_dot_general_body" in n for n in comps)
+    dropped_transport = 0
     for name, lines in comps.items():
         cmult = mult.get(name, 0.0)
         if cmult == 0.0:
             continue
+        in_windowed = "windowed_dot_general_body" in name
+        synthesized = False
         for line in lines:
-            mo = _OP_RE.search(line)
-            if not mo:
-                continue
-            op = mo.group(1)
-            if op.endswith("-done"):
+            op, shape_text = _op_and_shape(line)
+            if not op or op.endswith("-done"):
                 continue
             base = op[:-6] if op.endswith("-start") else op
             if base not in COLLECTIVE_OPS:
                 continue
-            sizes = _shape_bytes(line.split("=", 1)[1].split("(", 1)[0])
+            sizes = _shape_bytes(shape_text)
             if not sizes:
                 continue
             groups = parse_replica_groups(line)
+            pairs = _permute_pairs(line)
+            if base == "collective-permute":
+                # Windowed collective matmul (GSPMD "collective matmul"):
+                # the gather/scatter of a windowed_dot_general loop is
+                # carried ENTIRELY by ring permutes of one weight shard —
+                # 2 channels x 2 unrolled steps inside the body, plus one
+                # pipeliner prologue copy in the caller (fingerprint:
+                # op_name metadata ends in .../dot_general). The semantic
+                # transport per loop execution is ONE full-buffer
+                # all-gather (bytes = shard x ring size; the bidirectional
+                # two-channel schedule matches the ring all-gather time
+                # B*(g-1)/g / 2W exactly), so: synthesize that collective
+                # once per body and drop the individual transport permutes
+                # everywhere. Genuine permutes (shard_map ppermute from
+                # ring attention, partitioner reshards) keep their own
+                # accounting.
+                if in_windowed:
+                    if not synthesized and pairs:
+                        g = _ring_size(pairs)
+                        kind = ("reduce-scatter"
+                                if "windowed_dot_general_body_rs" in name
+                                else "all-gather")
+                        cols.append(Collective(
+                            op=kind, bytes=max(sizes) * g, group_size=g,
+                            count=cmult, is_async=True, computation=name,
+                            replica_groups=_pair_components(pairs)))
+                        synthesized = True
+                    continue
+                if has_windowed and "dot_general" in _op_name(line):
+                    dropped_transport += 1
+                    continue
             gsize = len(groups[0]) if groups else 1
             if base == "collective-permute" and groups is None:
-                # permutes carry source_target_pairs instead
-                gsize = 2 if "source_target_pairs" in line else 1
+                gsize = _ring_size(pairs) if pairs else 1
             chan = re.search(r"channel_id=(\d+)", line)
             cols.append(Collective(
                 op=base, bytes=max(sizes), group_size=gsize, count=cmult,
@@ -334,10 +382,57 @@ def collect(hlo: str) -> Tuple[List[Collective], List[str]]:
                 # under partial matmuls inside the kOutput fusion itself)
                 is_async=(op.endswith("-start") or name in async_called
                           or name.startswith("async_collective_fusion")),
-                computation=name, replica_groups=groups,
+                computation=name,
+                replica_groups=groups or (_pair_components(pairs)
+                                          if pairs else None),
                 channel_id=int(chan.group(1)) if chan else None,
                 chained='"flag_start"' in line))
+    if dropped_transport:
+        warnings.append(
+            f"absorbed {dropped_transport} windowed-transport permute "
+            "prologue copies into the synthesized windowed gathers")
     return _dedup_channels(cols), warnings
+
+
+def _op_name(line: str) -> str:
+    m = re.search(r'op_name="([^"]*)"', line)
+    return m.group(1) if m else ""
+
+
+def _permute_pairs(line: str) -> List[Tuple[int, int]]:
+    m = re.search(r"source_target_pairs=\{(.*?)\}\}", line)
+    if not m:
+        return []
+    return [(int(a), int(b)) for a, b in
+            re.findall(r"\{(\d+),(\d+)\}", m.group(1) + "}")]
+
+
+def _ring_size(pairs: List[Tuple[int, int]]) -> int:
+    """Size of the largest ring (connected component) in the permute's
+    source->target graph — disjoint rings (e.g. per-slice windowed gathers
+    under hybrid sharding) must not be priced as one big group."""
+    comp = _pair_components(pairs)
+    return max((len(c) for c in comp), default=1)
+
+
+def _pair_components(pairs: List[Tuple[int, int]]) -> List[List[int]]:
+    parent: Dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups: Dict[int, List[int]] = {}
+    for x in parent:
+        groups.setdefault(find(x), []).append(x)
+    return [sorted(v) for v in sorted(groups.values())]
 
 
 def _dedup_channels(cols: List[Collective]) -> List[Collective]:
@@ -441,8 +536,8 @@ def domain_split(cols: List[Collective], slice_of: Dict[int, int],
     per_op_dcn: Dict[str, float] = {}
     for c in cols:
         if not c.replica_groups:
-            # permutes carry source_target_pairs; none of the audited
-            # programs emit them — treat as intra-slice if they appear
+            # permutes without recoverable groups (collect() derives them
+            # from source_target_pairs components when present)
             ici_s += c.wire_bytes() * c.count / (2.0 * ici_gbps * 1e9)
             continue
         spans = max(len({slice_of[i] for i in g}) for g in c.replica_groups)

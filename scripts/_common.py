@@ -92,6 +92,14 @@ def _pod_warmup(mesh):
 
 
 def build_mesh(config):
+    chunks = int(config.get_path("train.ulysses_chunks")
+                 or os.environ.get("HYV_ULYSSES_CHUNKS", "1"))
+    if chunks > 1:
+        # before backend init: libtpu reads LIBTPU_INIT_ARGS once; the
+        # chunked Ulysses sandwich (ops/attention.ulysses_chunks) then
+        # overlaps its a2a windows with the flash kernels
+        os.environ["HYV_ULYSSES_CHUNKS"] = str(chunks)
+        shd.enable_async_collectives()
     maybe_init_distributed()
     n_dev = len(jax.devices())
     sp = max(1, min(int(config.dataset.sp_size), n_dev))

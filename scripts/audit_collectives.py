@@ -46,11 +46,27 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STAGES = ("fwd", "sft", "sft_hybrid", "usp")
+# extra stages, run explicitly: fwd_hybrid (the rollout forward under
+# hybrid_full — proves the DCN saving covers the rollout's 19 fwds, not
+# just the SFT step), <stage>_async (below)
 MID_MEAN = 19.0
 LRM_FRAC = 8.0 / 40.0
 
+# "<stage>_async" variants recompile the same program with the async-a2a
+# libtpu flags + head-chunked Ulysses (HYV_ULYSSES_CHUNKS=5: 40 heads / sp 4
+# -> 5 sandwiches of 2 heads/device) and additionally count, from the final
+# schedule, how many async a2a start..done windows span compute (Mosaic
+# flash custom-calls or fusions) — the compiled-in overlap, not the
+# wire-model's "overlappable" upper bound. Run explicitly:
+#   python scripts/audit_collectives.py fwd_async usp_async
+ASYNC_CHUNKS = "5"
 
-def _child_env():
+
+def _base_stage(stage: str) -> str:
+    return stage[:-6] if stage.endswith("_async") else stage
+
+
+def _child_env(stage: str = ""):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env.update({
@@ -60,11 +76,36 @@ def _child_env():
         "PALLAS_INTERPRET": "0",
         "HYV_NO_CUSTOM_PARTITIONING": "1",
     })
+    if stage.endswith("_async"):
+        from hyvideo_prfl_tpu.parallel.sharding import ASYNC_COLLECTIVE_FLAGS
+
+        env["LIBTPU_INIT_ARGS"] = ASYNC_COLLECTIVE_FLAGS
+        env["HYV_ULYSSES_CHUNKS"] = ASYNC_CHUNKS
     return env
+
+
+def _schedule_overlap(hlo: str) -> dict:
+    """Count async a2a start..done windows that span compute in the final
+    schedule order (tests/test_ulysses_chunked.py's criterion)."""
+    lines = hlo.splitlines()
+    starts = [i for i, l in enumerate(lines) if "all-to-all-start" in l]
+    dones = [i for i, l in enumerate(lines) if "all-to-all-done" in l]
+    comp = [i for i, l in enumerate(lines)
+            if "tpu_custom_call" in l or " fusion(" in l]
+    spans = 0
+    for s in starts:
+        d = min((x for x in dones if x > s), default=None)
+        if d is not None and any(s < c < d for c in comp):
+            spans += 1
+    sync = sum(1 for l in lines
+               if " all-to-all(" in l or " all-to-all-tuple(" in l)
+    return {"a2a_async_pairs": len(starts), "a2a_sync": sync,
+            "a2a_windows_spanning_compute": spans}
 
 
 def _child(stage: str, out_path: str) -> None:
     """Runs inside the chipless-AOT subprocess: build, compile, inventory."""
+    full_stage, stage = stage, _base_stage(stage)
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -149,7 +190,7 @@ def _child(stage: str, out_path: str) -> None:
         chip = "v5p"
         cfg = wan_dit.i2v_14b(remat=True, remat_policy="attn")
         policy = shd.ShardingPolicy(shard_map_ulysses=True)
-        strategy = "hybrid_full" if stage == "sft_hybrid" else "full"
+        strategy = "hybrid_full" if stage.endswith("_hybrid") else "full"
         pshapes = jax.eval_shape(
             lambda: wan_dit.init_params(cfg, jax.random.PRNGKey(0)))
         pshard = shd.fsdp_param_sharding(mesh, pshapes, strategy=strategy)
@@ -166,7 +207,7 @@ def _child(stage: str, out_path: str) -> None:
         clip_abs = jax.ShapeDtypeStruct((b, 257, 1280), jnp.float32,
                                         sharding=bsh)
 
-        if stage == "fwd":
+        if stage.startswith("fwd"):
             model = wan_dit.WanModel(cfg, policy)
             grid = (f, hh // 2, ww // 2)
             L = grid[0] * grid[1] * grid[2]
@@ -233,7 +274,7 @@ def _child(stage: str, out_path: str) -> None:
     link = hlo_comm.ICI_GBPS[chip]
     model_out = hlo_comm.collective_seconds(cols, link)
     result = {
-        "stage": stage, "chip": chip, "link_gbps_per_dir": link,
+        "stage": full_stage, "chip": chip, "link_gbps_per_dir": link,
         "per_exec": per_exec,
         "hlo_bytes": len(hlo),
         "n_collective_sites": len(cols),
@@ -246,6 +287,8 @@ def _child(stage: str, out_path: str) -> None:
             model_out["async_overlappable_seconds"], 6),
         "top_sites": hlo_comm.top_sites(cols, link),
     }
+    if full_stage.endswith("_async"):
+        result["schedule_overlap"] = _schedule_overlap(hlo)
     if mesh.shape.get("data", 1) > 1:
         # the "data" axis read as the DCN-connected slice boundary:
         # global HLO device ids follow the mesh device-array order
@@ -269,12 +312,13 @@ def reparse_stage(stage: str, out_dir: str) -> dict:
     hlo_path = os.path.join(out_dir, f"comm_{stage}.hlo")
     with open(hlo_path) as fobj:
         hlo = fobj.read()
-    chip = "v5e" if stage == "usp" else "v5p"
+    base = _base_stage(stage)
+    chip = "v5e" if base == "usp" else "v5p"
     cols, warnings = hlo_comm.collect(hlo)
     link = hlo_comm.ICI_GBPS[chip]
     model_out = hlo_comm.collective_seconds(cols, link)
     domains = None
-    if stage != "usp":  # (data=2, sp=4) mesh: ids 0-3 slice 0, 4-7 slice 1
+    if base != "usp":  # (data=2, sp=4) mesh: ids 0-3 slice 0, 4-7 slice 1
         domains = hlo_comm.domain_split(cols, {i: i // 4 for i in range(8)},
                                         link)
     result = {
@@ -289,6 +333,8 @@ def reparse_stage(stage: str, out_dir: str) -> dict:
             model_out["async_overlappable_seconds"], 6),
         "top_sites": hlo_comm.top_sites(cols, link),
     }
+    if stage.endswith("_async"):
+        result["schedule_overlap"] = _schedule_overlap(hlo)
     if domains is not None:
         result["domains"] = domains
     with open(os.path.join(out_dir, f"comm_{stage}.json"), "w") as fobj:
@@ -302,7 +348,7 @@ def run_stage(stage: str, out_dir: str) -> dict:
     code = ("import sys; sys.path.insert(0, %r); "
             "from scripts.audit_collectives import _child; _child(%r, %r)"
             % (repo, stage, out_path))
-    r = subprocess.run([sys.executable, "-c", code], env=_child_env(),
+    r = subprocess.run([sys.executable, "-c", code], env=_child_env(stage),
                        cwd=repo, timeout=5400)
     if r.returncode != 0:
         raise RuntimeError(f"stage {stage} failed rc={r.returncode}")

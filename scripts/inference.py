@@ -108,6 +108,12 @@ def args_init(argv=None):
     p.add_argument("--ring_size", type=int, default=1,
                    help="ring attention degree; ring*ulysses devices form "
                         "the USP sequence mesh (inference_prfl.py:71-82)")
+    p.add_argument("--ulysses_chunks", type=int,
+                   default=int(os.environ.get("HYV_ULYSSES_CHUNKS", "1")),
+                   help="head-chunk the Ulysses a2a sandwich so flash "
+                        "kernels overlap the all_to_alls (async-a2a libtpu "
+                        "flags enabled automatically; single-chip kernel "
+                        "cost ~0, scripts/profile_ulysses_chunk.py)")
     p.add_argument("--save_file", default="out.mp4")
     p.add_argument("--save_folder", default=None,
                    help="directory for outputs (inference_prfl.py "
@@ -343,6 +349,12 @@ def _decode_and_write(lat, args, save_file):
 def main(argv=None):
     args = args_init(argv)
     logging.basicConfig(level=logging.INFO)
+    if args.ulysses_chunks > 1:
+        # before the first jax.devices(): libtpu reads LIBTPU_INIT_ARGS at
+        # backend init, and the chunked sandwich reads HYV_ULYSSES_CHUNKS
+        # at trace time (ops/attention.ulysses_chunks)
+        os.environ["HYV_ULYSSES_CHUNKS"] = str(args.ulysses_chunks)
+        shd.enable_async_collectives()
     if args.smoke_tiny:
         t2x = "t2v" in args.task or "t2i" in args.task
         dit_cfg = wan_dit.tiny_test(

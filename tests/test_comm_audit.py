@@ -167,6 +167,110 @@ def test_unflagged_channel_reuse_not_merged():
     assert not any(c.is_async for c in a2a)
 
 
+SYNTH_WINDOWED = """\
+HloModule jit_h, entry_computation_layout={(bf16[128,64]{1,0})->bf16[128,64]{1,0}}
+
+%wloop_cond (p: (s32[], bf16[128,64])) -> pred[] {
+  %p = (s32[], bf16[128,64]{1,0}) parameter(0)
+  %i = s32[] get-tuple-element((s32[], bf16[128,64]{1,0}) %p), index=0
+  %bound = s32[] constant(2)
+  ROOT %lt = pred[] compare(s32[] %i, s32[] %bound), direction=LT
+}
+
+%wide.windowed_dot_general_body_ag.sunk (p: (s32[], bf16[128,64])) -> (s32[], bf16[128,64]) {
+  %p = (s32[], bf16[128,64]{1,0}) parameter(0)
+  %i = s32[] get-tuple-element((s32[], bf16[128,64]{1,0}) %p), index=0
+  %x = bf16[128,64]{1,0} get-tuple-element((s32[], bf16[128,64]{1,0}) %p), index=1
+  %one = s32[] constant(1)
+  %i2 = s32[] add(s32[] %i, s32[] %one)
+  %cps0 = (bf16[128,64]{1,0:T(8,128)(2,1)}, bf16[128,64]{1,0:T(8,128)(2,1)}, u32[]{:S(2)}, u32[]{:S(2)}) collective-permute-start(bf16[128,64]{1,0} %x), channel_id=11, source_target_pairs={{0,7},{1,0},{2,1},{3,2},{4,3},{5,4},{6,5},{7,6}}, metadata={op_name="jit(h)/blocks/o/dot_general"}
+  %cpd0 = bf16[128,64]{1,0} collective-permute-done((bf16[128,64]{1,0:T(8,128)(2,1)}, bf16[128,64]{1,0:T(8,128)(2,1)}, u32[]{:S(2)}, u32[]{:S(2)}) %cps0)
+  %cps1 = (bf16[128,64]{1,0:T(8,128)(2,1)}, bf16[128,64]{1,0:T(8,128)(2,1)}, u32[]{:S(2)}, u32[]{:S(2)}) collective-permute-start(bf16[128,64]{1,0} %cpd0), channel_id=12, source_target_pairs={{0,1},{1,2},{2,3},{3,4},{4,5},{5,6},{6,7},{7,0}}, metadata={op_name="jit(h)/blocks/o/dot_general"}
+  %cpd1 = bf16[128,64]{1,0} collective-permute-done((bf16[128,64]{1,0:T(8,128)(2,1)}, bf16[128,64]{1,0:T(8,128)(2,1)}, u32[]{:S(2)}, u32[]{:S(2)}) %cps1)
+  ROOT %t = (s32[], bf16[128,64]{1,0}) tuple(s32[] %i2, bf16[128,64]{1,0} %cpd1)
+}
+
+ENTRY %main (arg: bf16[128,64]) -> bf16[128,64] {
+  %arg = bf16[128,64]{1,0} parameter(0)
+  %pro = (bf16[128,64]{1,0:T(8,128)(2,1)}, bf16[128,64]{1,0:T(8,128)(2,1)}, u32[]{:S(2)}, u32[]{:S(2)}) collective-permute-start(bf16[128,64]{1,0} %arg), channel_id=10, source_target_pairs={{0,7},{1,0},{2,1},{3,2},{4,3},{5,4},{6,5},{7,6}}, metadata={op_name="jit(h)/blocks/o/dot_general"}
+  %prod = bf16[128,64]{1,0} collective-permute-done((bf16[128,64]{1,0:T(8,128)(2,1)}, bf16[128,64]{1,0:T(8,128)(2,1)}, u32[]{:S(2)}, u32[]{:S(2)}) %pro)
+  %ring = (bf16[128,64]{1,0:T(8,128)(2,1)}, bf16[128,64]{1,0:T(8,128)(2,1)}, u32[]{:S(2)}, u32[]{:S(2)}) collective-permute-start(bf16[128,64]{1,0} %prod), channel_id=20, source_target_pairs={{0,4},{4,0},{1,5},{5,1},{2,6},{6,2},{3,7},{7,3}}, metadata={op_name="jit(h)/ring/ppermute"}
+  %ringd = bf16[128,64]{1,0} collective-permute-done((bf16[128,64]{1,0:T(8,128)(2,1)}, bf16[128,64]{1,0:T(8,128)(2,1)}, u32[]{:S(2)}, u32[]{:S(2)}) %ring)
+  %init_i = s32[] constant(0)
+  %init = (s32[], bf16[128,64]{1,0}) tuple(s32[] %init_i, bf16[128,64]{1,0} %ringd)
+  %w = (s32[], bf16[128,64]{1,0}) while((s32[], bf16[128,64]{1,0}) %init), condition=%wloop_cond, body=%wide.windowed_dot_general_body_ag.sunk
+  ROOT %xw = bf16[128,64]{1,0} get-tuple-element((s32[], bf16[128,64]{1,0}) %w), index=1
+}
+"""
+
+
+def test_windowed_transport_synthesis():
+    """The GSPMD collective matmul carries its gather entirely as ring
+    permutes of one weight shard inside a `windowed_dot_general_body`
+    while (plus a pipeliner prologue copy in the caller, fingerprinted by
+    the .../dot_general op_name). These are tuple-result async-start forms
+    whose layout annotations (`T(8,128)(2,1)`, `u32[]{:S(2)}`) defeat a
+    shape-anchored opcode regex — the original parser dropped ALL of them,
+    costing the first published 14B fwd audit ~19.5 GiB of its 26.3 GiB
+    physical weight-gather floor. Pin: the body synthesizes ONE full-buffer
+    all-gather per loop invocation (bytes = shard x ring size, overlapped
+    by construction), transport permutes and prologue copies are absorbed,
+    and a genuine ppermute (ring attention) keeps its own accounting."""
+    cols, warnings = hlo_comm.collect(SYNTH_WINDOWED)
+    assert any("absorbed" in w for w in warnings), warnings
+    by_op = {c.op: c for c in cols}
+    assert set(by_op) == {"all-gather", "collective-permute"}
+
+    shard = 128 * 64 * 2
+    ag = by_op["all-gather"]
+    assert ag.bytes == shard * 8  # full buffer = shard x ring size
+    assert ag.group_size == 8
+    assert ag.count == 1.0  # once per windowed-loop invocation, NOT x trips
+    assert ag.is_async  # pipelined under partial matmuls by construction
+    assert ag.replica_groups == [[0, 1, 2, 3, 4, 5, 6, 7]]
+
+    ring = by_op["collective-permute"]
+    assert ring.count == 1.0 and ring.bytes == shard
+    assert ring.is_async  # start/done pair
+    # disjoint pairwise exchange rings: group is the component size (2),
+    # not the device count; replica groups decompose per component
+    assert ring.group_size == 2
+    assert ring.replica_groups == [[0, 4], [1, 5], [2, 6], [3, 7]]
+    assert ring.wire_bytes() == 2 * shard
+
+
+def test_windowed_rs_synthesis():
+    """A `windowed_dot_general_body_rs` body synthesizes a reduce-scatter
+    (the gradient-scatter side of the collective matmul in the backward)."""
+    hlo = SYNTH_WINDOWED.replace("windowed_dot_general_body_ag",
+                                 "windowed_dot_general_body_rs")
+    cols, _ = hlo_comm.collect(hlo)
+    rs = [c for c in cols if c.op == "reduce-scatter"]
+    assert len(rs) == 1
+    assert rs[0].bytes == 128 * 64 * 2 * 8
+    assert rs[0].wire_bytes() == rs[0].bytes * 7 / 8
+
+
+def test_async_tuple_start_forms_parse():
+    """all-to-all-start with a nested-tuple result (the async-a2a libtpu
+    flags emit `((operand), result, u32[], u32[])`) must be counted once,
+    async, at the a2a buffer size."""
+    hlo = SYNTH.replace(
+        "%a2a = f32[8,16]{1,0} all-to-all(f32[8,16]{1,0} %x), "
+        "replica_groups={{0,1,2,3},{4,5,6,7}}, dimensions={0}",
+        "%a2as = ((f32[8,16]{1,0:T(8,128)}), f32[8,16]{1,0:T(8,128)}, "
+        "u32[]{:S(2)}, u32[]{:S(2)}) all-to-all-start(f32[8,16]{1,0} %x), "
+        "channel_id=3, replica_groups={{0,1,2,3},{4,5,6,7}}, dimensions={0}\n"
+        "  %a2a = f32[8,16]{1,0} all-to-all-done(((f32[8,16]{1,0:T(8,128)}),"
+        " f32[8,16]{1,0:T(8,128)}, u32[]{:S(2)}, u32[]{:S(2)}) %a2as)")
+    cols, warnings = hlo_comm.collect(hlo)
+    assert not warnings
+    a2a = [c for c in cols if c.op == "all-to-all"]
+    assert len(a2a) == 1
+    assert a2a[0].count == 5.0 and a2a[0].is_async
+    assert a2a[0].bytes == 8 * 16 * 4 and a2a[0].group_size == 4
+
+
 def test_domain_split_ici_vs_dcn():
     """Multi-slice pricing (COMM_AUDIT `domains`): a collective confined
     to one slice is pure ICI; one spanning slices pays the hierarchical
