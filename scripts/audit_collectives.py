@@ -120,12 +120,17 @@ def _child(stage: str, out_path: str) -> None:
         return jax.ShapeDtypeStruct(shape_dtype.shape, shape_dtype.dtype,
                                     sharding=sharding)
 
-    if stage == "usp":
+    strategy = "full"  # usp serves full-sharded; fwd/sft branches override
+    if stage.startswith("usp"):
         from hyvideo_prfl_tpu.schedulers import unipc
 
         topo = topologies.get_topology_desc(platform="tpu",
                                             topology_name="v5e:2x4")
-        mesh = Mesh(np.array(topo.devices).reshape(1, 2, 4),
+        # usp = ring=2 x ulysses=4 (the xfuser-style USP pod); usp_uly8 =
+        # pure Ulysses over all 8 chips (40 heads % 8 == 0) — the audit
+        # quantifies the ring-kv permute toll the topology choice carries
+        ring = 1 if stage == "usp_uly8" else 2
+        mesh = Mesh(np.array(topo.devices).reshape(1, ring, 8 // ring),
                     ("data", "ring", "sp"))
         chip = "v5e"
         cfg = wan_dit.i2v_14b(remat=False)
@@ -273,6 +278,33 @@ def _child(stage: str, out_path: str) -> None:
     cols, warnings = hlo_comm.collect(hlo)
     link = hlo_comm.ICI_GBPS[chip]
     model_out = hlo_comm.collective_seconds(cols, link)
+
+    # Physical-floor tripwire (parser-regression guard; this bug class bit
+    # twice — phase-copy overcount, then windowed-transport undercount):
+    # under `full` ZeRO-3 every weight is all-gathered at least once per
+    # forward, so the gather wire must be >= params_bf16 * (g-1)/g. The
+    # first published audit sat 3x BELOW this floor and nothing caught it.
+    # hybrid stages are exempt: GSPMD legitimately re-strategizes some
+    # matmuls to avoid weight gathers there (measured: fwd_hybrid moves
+    # 17.6 GiB vs the naive sp-only floor's 22.6).
+    gather_floor = None
+    if strategy == "full" and (stage.startswith("fwd")
+                               or stage.startswith("sft")):
+        pbytes = sum(int(np.prod(s.shape)) * 2
+                     for s in jax.tree.leaves(pshapes))
+        g = mesh.devices.size
+        floor = pbytes * (g - 1) / g
+        meas = sum(c.wire_bytes() * c.count for c in cols
+                   if c.op == "all-gather")
+        gather_floor = {"params_bf16_bytes": pbytes,
+                        "floor_wire_bytes": round(floor),
+                        "measured_ag_wire_bytes": round(meas),
+                        "ratio": round(meas / floor, 3)}
+        if meas < 0.9 * floor:
+            warnings.append(
+                "all-gather wire %.2f GiB is below the ZeRO-3 physical "
+                "floor %.2f GiB — the parser is likely dropping "
+                "collectives again" % (meas / 2**30, floor / 2**30))
     result = {
         "stage": full_stage, "chip": chip, "link_gbps_per_dir": link,
         "per_exec": per_exec,
@@ -287,6 +319,8 @@ def _child(stage: str, out_path: str) -> None:
             model_out["async_overlappable_seconds"], 6),
         "top_sites": hlo_comm.top_sites(cols, link),
     }
+    if gather_floor is not None:
+        result["gather_floor"] = gather_floor
     if full_stage.endswith("_async"):
         result["schedule_overlap"] = _schedule_overlap(hlo)
     if mesh.shape.get("data", 1) > 1:
@@ -313,12 +347,13 @@ def reparse_stage(stage: str, out_dir: str) -> dict:
     with open(hlo_path) as fobj:
         hlo = fobj.read()
     base = _base_stage(stage)
-    chip = "v5e" if base == "usp" else "v5p"
+    chip = "v5e" if base.startswith("usp") else "v5p"
     cols, warnings = hlo_comm.collect(hlo)
     link = hlo_comm.ICI_GBPS[chip]
     model_out = hlo_comm.collective_seconds(cols, link)
     domains = None
-    if base != "usp":  # (data=2, sp=4) mesh: ids 0-3 slice 0, 4-7 slice 1
+    if not base.startswith("usp"):
+        # (data=2, sp=4) mesh: ids 0-3 slice 0, 4-7 slice 1
         domains = hlo_comm.domain_split(cols, {i: i // 4 for i in range(8)},
                                         link)
     result = {
