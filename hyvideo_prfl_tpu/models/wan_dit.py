@@ -87,6 +87,11 @@ class WanConfig:
     # next layer's stacked-weight DMA with the current layer's compute
     # (the scan itself does not prefetch xs slices)
     scan_unroll: int = 1
+    # "int8" runs the ten block matmuls (self/cross qkvo + k_img/v_img +
+    # ffn) as W8A8 int8 MXU dots — serving-only, ~2.2x the bf16 dense rate
+    # on v5e (ops/quant.py; load via quant.quantize_params). Embeds, adaLN,
+    # head, and the attention kernel stay bf16/fp32.
+    quant_dense: Optional[str] = None
 
     @property
     def head_dim(self) -> int:
@@ -287,7 +292,9 @@ def _layer_norm(x: jnp.ndarray, eps: float, scale=None, bias=None) -> jnp.ndarra
     return y.astype(x.dtype)
 
 
-def _dense(name, features, dtype, init="xavier"):
+def _dense(name, features, dtype, init="xavier", quant=None):
+    if quant == "int8":
+        return QuantDense(features, name=name, dtype=dtype)
     kernel_init = (
         nn.initializers.xavier_uniform()
         if init == "xavier"
@@ -299,6 +306,42 @@ def _dense(name, features, dtype, init="xavier"):
         features, name=name, dtype=dtype, param_dtype=jnp.float32,
         kernel_init=kernel_init, bias_init=nn.initializers.zeros_init(),
     )
+
+
+class QuantDense(nn.Module):
+    """W8A8 int8 dense (serving only; WanConfig.quant_dense="int8").
+
+    Parameter tree: kernel_q int8 [D, F] + kernel_scale fp32 [F] + bias
+    fp32 [F] — produced from a bf16/fp32 tree by ops/quant.quantize_params
+    at load time (random init quantizes a fresh xavier kernel so smoke
+    paths work without a checkpoint; q and scale draw independent keys
+    there, which is magnitude-correct — consistency comes from the
+    quantize_params path, the only one that matters numerically)."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.quant import int8_dense, quantize_weight
+
+        d = x.shape[-1]
+
+        def kq_init(key):
+            w = nn.initializers.xavier_uniform()(key, (d, self.features),
+                                                 jnp.float32)
+            return quantize_weight(w)[0]
+
+        def ks_init(key):
+            w = nn.initializers.xavier_uniform()(key, (d, self.features),
+                                                 jnp.float32)
+            return quantize_weight(w)[1]
+
+        wq = self.param("kernel_q", kq_init)
+        ws = self.param("kernel_scale", ks_init)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), jnp.float32)
+        return int8_dense(x.astype(self.dtype), wq, ws, b)
 
 
 class SelfAttention(nn.Module):
@@ -314,9 +357,10 @@ class SelfAttention(nn.Module):
         n, d = cfg.num_heads, cfg.head_dim
         cd = cfg.compute_dtype
         x = x.astype(cd)
-        q = _dense("q", cfg.dim, cd)(x)
-        k = _dense("k", cfg.dim, cd)(x)
-        v = _dense("v", cfg.dim, cd)(x).reshape(b, l, n, d)
+        qd = cfg.quant_dense
+        q = _dense("q", cfg.dim, cd, quant=qd)(x)
+        k = _dense("k", cfg.dim, cd, quant=qd)(x)
+        v = _dense("v", cfg.dim, cd, quant=qd)(x).reshape(b, l, n, d)
         if cfg.qk_norm:
             # fused RMSNorm+rope Pallas kernel: the unfused chain is ~1/3 of
             # the forward wall-clock. Output is head-major [B, N, L, D] (the
@@ -360,7 +404,7 @@ class SelfAttention(nn.Module):
             out = constrain(out, policy, "attn_heads")
         out = out.reshape(b, l, cfg.dim)
         out = constrain(out, policy, "tokens")
-        return _dense("o", cfg.dim, cd)(out)
+        return _dense("o", cfg.dim, cd, quant=cfg.quant_dense)(out)
 
 
 class CrossAttention(nn.Module):
@@ -382,9 +426,10 @@ class CrossAttention(nn.Module):
             context_img = context[:, :img_len]
             context = context[:, img_len:]
         context = context.astype(cd)
-        q = _dense("q", cfg.dim, cd)(x)
-        k = _dense("k", cfg.dim, cd)(context)
-        v = _dense("v", cfg.dim, cd)(context).reshape(b, -1, n, d)
+        qd = cfg.quant_dense
+        q = _dense("q", cfg.dim, cd, quant=qd)(x)
+        k = _dense("k", cfg.dim, cd, quant=qd)(context)
+        v = _dense("v", cfg.dim, cd, quant=qd)(context).reshape(b, -1, n, d)
         if cfg.qk_norm:
             wq = self.param("norm_q", nn.initializers.ones, (cfg.dim,))
             wk = self.param("norm_k", nn.initializers.ones, (cfg.dim,))
@@ -412,8 +457,8 @@ class CrossAttention(nn.Module):
         out = attn(q, k, v, qk_layout=qk_layout)
         if is_i2v:
             context_img = context_img.astype(cd)
-            k_img = _dense("k_img", cfg.dim, cd)(context_img)
-            v_img = _dense("v_img", cfg.dim, cd)(context_img).reshape(
+            k_img = _dense("k_img", cfg.dim, cd, quant=qd)(context_img)
+            v_img = _dense("v_img", cfg.dim, cd, quant=qd)(context_img).reshape(
                 b, -1, n, d)
             if cfg.qk_norm:
                 k_img = rmsnorm_only(
@@ -425,7 +470,7 @@ class CrossAttention(nn.Module):
                 k_img = k_img.reshape(b, -1, n, d)
             out = out + attn(q, k_img, v_img, qk_layout=qk_layout)
         out = out.reshape(b, l, cfg.dim)
-        return _dense("o", cfg.dim, cd)(out)
+        return _dense("o", cfg.dim, cd, quant=cfg.quant_dense)(out)
 
 
 class WanBlock(nn.Module):
@@ -481,9 +526,9 @@ class WanBlock(nn.Module):
             h = ln_scale_shift(x, 1.0 + e6[:, 4], e6[:, 3], out_dtype=cd)
         else:
             h = (_layer_norm(x, 1e-6).astype(rd) * (1.0 + e4) + e3).astype(cd)
-        h = _dense("ffn_0", cfg.ffn_dim, cd)(h)
+        h = _dense("ffn_0", cfg.ffn_dim, cd, quant=cfg.quant_dense)(h)
         h = nn.gelu(h, approximate=True)
-        h = _dense("ffn_2", cfg.dim, cd)(h)
+        h = _dense("ffn_2", cfg.dim, cd, quant=cfg.quant_dense)(h)
         x = x + h.astype(rd) * e5
         x = constrain(x, policy, "tokens")
         return x

@@ -114,6 +114,11 @@ def args_init(argv=None):
                         "kernels overlap the all_to_alls (async-a2a libtpu "
                         "flags enabled automatically; single-chip kernel "
                         "cost ~0, scripts/profile_ulysses_chunk.py)")
+    p.add_argument("--quant", choices=("none", "int8"), default="none",
+                   help="serve the DiT block matmuls as W8A8 int8 MXU dots "
+                        "(~2.2x the bf16 dense rate on v5e; ops/quant.py). "
+                        "Quality is checkpoint-dependent — compare against "
+                        "a bf16 sample before production use")
     p.add_argument("--save_file", default="out.mp4")
     p.add_argument("--save_folder", default=None,
                    help="directory for outputs (inference_prfl.py "
@@ -407,6 +412,20 @@ def main(argv=None):
         n = sum(len(m) for m in lora["lora"].values())
         logging.info("merged LoRA from %s (%d modules, scale %.2f)",
                      lora_path, n, scale)
+
+    if args.quant == "int8":
+        # quantize AFTER LoRA merges (the int8 tree has no mergeable
+        # kernels) and BEFORE the bf16 cast/sharding below
+        import dataclasses as _dc
+
+        from hyvideo_prfl_tpu.ops import quant as quant_mod
+
+        dit_cfg = _dc.replace(dit_cfg, quant_dense="int8")
+        qshapes = jax.eval_shape(
+            lambda: wan_dit.init_params(dit_cfg, jax.random.PRNGKey(0),
+                                        clip_shape=clip_shape))
+        params = quant_mod.quantize_params(params, qshapes)
+        logging.info("quantized block matmuls to int8 (W8A8 serving path)")
 
     n_dev = len(jax.devices())
     sp = min(args.ulysses_size, n_dev)

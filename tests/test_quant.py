@@ -1,0 +1,114 @@
+"""Int8 W8A8 serving path (ops/quant.py + WanConfig.quant_dense) — the
+beyond-reference serving feature (the reference serves bf16 only;
+README "Environment flags" + STATUS round-4 notes).
+
+Pins: op-level error bound, load-time tree transform (quantize_params
+against the quant model's eval_shape), tiny-model output drift vs the
+bf16 model, and the sharded/jitted path on the 8-device mesh (int8
+kernels take the same FSDP shardings as bf16 ones; scales replicate)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyvideo_prfl_tpu.models import wan_dit
+from hyvideo_prfl_tpu.ops import quant
+from hyvideo_prfl_tpu.parallel import sharding as shd
+
+
+def test_int8_dense_error_bound():
+    w = jax.random.normal(jax.random.PRNGKey(0), (256, 512)) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 256), jnp.bfloat16)
+    q, s = quant.quantize_weight(w)
+    assert q.dtype == jnp.int8 and s.shape == (512,)
+    assert int(jnp.max(jnp.abs(q))) <= 127
+    y_ref = (x.astype(jnp.float32) @ w).astype(jnp.float32)
+    y_q = quant.int8_dense(x, q, s, out_dtype=jnp.float32)
+    rel = float(jnp.linalg.norm(y_q - y_ref) / jnp.linalg.norm(y_ref))
+    # symmetric absmax W8A8 at D=256: ~1% relative error
+    assert rel < 0.03, rel
+
+
+def test_quantize_weight_stacked_layers():
+    """nn.scan stacks kernels as [L, D, F]: scales must be per (layer,
+    out-channel), reducing over the contraction axis only."""
+    w = jax.random.normal(jax.random.PRNGKey(0), (3, 64, 32))
+    q, s = quant.quantize_weight(w)
+    assert q.shape == (3, 64, 32) and s.shape == (3, 32)
+    for i in range(3):
+        qi, si = quant.quantize_weight(w[i])
+        np.testing.assert_array_equal(np.asarray(q[i]), np.asarray(qi))
+        np.testing.assert_allclose(np.asarray(s[i]), np.asarray(si))
+
+
+def test_zero_row_token_quantizes_to_zero():
+    w = jnp.ones((16, 8)) * 0.1
+    q, s = quant.quantize_weight(w)
+    x = jnp.zeros((4, 16), jnp.bfloat16)
+    y = quant.int8_dense(x, q, s)
+    assert float(jnp.abs(y).max()) == 0.0
+
+
+def _tiny_pair():
+    cfg = wan_dit.tiny_test()
+    cfg_q = wan_dit.tiny_test(quant_dense="int8")
+    p = wan_dit.init_params(cfg, jax.random.PRNGKey(0))
+    # the head is zero-init: randomize it so outputs are non-trivial
+    h = p["params"]["head"]["head"]
+    h["kernel"] = jax.random.normal(jax.random.PRNGKey(9),
+                                    h["kernel"].shape) * 0.05
+    qshapes = jax.eval_shape(
+        lambda: wan_dit.init_params(cfg_q, jax.random.PRNGKey(0)))
+    pq = quant.quantize_params(p, qshapes)
+    return cfg, cfg_q, p, pq
+
+
+def test_quantize_params_structure_and_model_drift():
+    cfg, cfg_q, p, pq = _tiny_pair()
+    blk = pq["params"]["blocks"]["self_attn"]["q"]
+    assert set(blk) == {"kernel_q", "kernel_scale", "bias"}
+    assert blk["kernel_q"].dtype == jnp.int8
+    # stacked over the 2 scanned layers
+    assert blk["kernel_q"].shape == (cfg.num_layers, cfg.dim, cfg.dim)
+    assert blk["kernel_scale"].shape == (cfg.num_layers, cfg.dim)
+    # non-quantized leaves pass through (fp32 islands stay fp32)
+    assert pq["params"]["head"]["head"]["kernel"].dtype == jnp.float32
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 8, 8, 16)) * 0.5
+    t = jnp.full((1,), 500.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(3),
+                            (1, cfg.text_len, cfg.text_dim)) * 0.2
+    o_ref = wan_dit.WanModel(cfg).apply(p, x, t, ctx)
+    o_q = wan_dit.WanModel(cfg_q).apply(pq, x, t, ctx)
+    assert bool(jnp.isfinite(o_q).all())
+    rel = float(jnp.linalg.norm((o_q - o_ref).astype(jnp.float32))
+                / jnp.linalg.norm(o_ref.astype(jnp.float32)))
+    # residual stream dilutes the per-matmul ~1% error; measured ~0.3%
+    assert rel < 0.02, rel
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_int8_sharded_serving_forward():
+    """The quant tree takes FSDP shardings on the serving mesh (int8
+    kernels shard like bf16 ones; [F] scales replicate below min_size)
+    and the sharded jitted forward matches the single-device one."""
+    cfg, cfg_q, p, pq = _tiny_pair()
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 8, 8, 16)) * 0.5
+    t = jnp.full((1,), 500.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(3),
+                            (1, cfg.text_len, cfg.text_dim)) * 0.2
+    o_single = wan_dit.WanModel(cfg_q).apply(pq, x, t, ctx)
+
+    mesh = shd.make_mesh(data=2, sp=4)
+    policy = shd.ShardingPolicy()
+    model = wan_dit.WanModel(cfg_q, policy)
+    with jax.set_mesh(mesh):
+        psh = shd.fsdp_param_sharding(mesh, pq, min_size=1024)
+        blk = psh["params"]["blocks"]["self_attn"]["q"]
+        assert blk["kernel_q"].spec != jax.sharding.PartitionSpec()
+        pq_s = jax.device_put(pq, psh)
+        o_sharded = jax.jit(model.apply)(pq_s, x, t, ctx)
+    np.testing.assert_allclose(
+        np.asarray(o_sharded, dtype=np.float32),
+        np.asarray(o_single, dtype=np.float32), atol=2e-2, rtol=2e-2)

@@ -169,8 +169,10 @@ def test_decode_latents_cli(tmp_path):
 
     cfg = vae_mod.tiny_vae()
     params = vae_mod.init_vae_params(cfg, jax.random.PRNGKey(0))
-    # the CLI assumes the shipped VAEConfig; drive its main() in-process
-    # with a monkeypatched config instead of a subprocess
+    # the CLI infers the VAEConfig from the checkpoint tree
+    # (vae.infer_config) — no config side-channel, so the tiny VAE is
+    # loadable as-is; also pin that the inference reconstructs this config
+    assert vae_mod.infer_config(params) == cfg
     from hyvideo_prfl_tpu.utils import checkpoint as ck
     ck.save_orbax(str(tmp_path / "vae"), params)
     z = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (1, 3, 4, 4, 4)))
@@ -183,9 +185,7 @@ def test_decode_latents_cli(tmp_path):
                  "--save_file", str(tmp_path / "out.mp4"),
                  "--decode_chunk", "1"]
     try:
-        import unittest.mock as mock
-        with mock.patch.object(vae_mod, "VAEConfig", lambda: cfg):
-            rc = dl.main()
+        rc = dl.main()
     finally:
         _sys.argv = argv
     assert rc == 0
