@@ -128,18 +128,26 @@ def _child(stage: str, out_path: str) -> None:
                                             topology_name="v5e:2x4")
         # usp = ring=2 x ulysses=4 (the xfuser-style USP pod); usp_uly8 =
         # pure Ulysses over all 8 chips (40 heads % 8 == 0) — the audit
-        # quantifies the ring-kv permute toll the topology choice carries
+        # quantifies the ring-kv permute toll the topology choice carries;
+        # usp_int8 = the W8A8 serving path (WanConfig.quant_dense): proves
+        # the full 14B int8 chain compiles multi-chip and that the int8
+        # weight re-gathers halve the per-step gather wire
         ring = 1 if stage == "usp_uly8" else 2
         mesh = Mesh(np.array(topo.devices).reshape(1, ring, 8 // ring),
                     ("data", "ring", "sp"))
         chip = "v5e"
-        cfg = wan_dit.i2v_14b(remat=False)
+        cfg = wan_dit.i2v_14b(
+            remat=False,
+            quant_dense="int8" if stage == "usp_int8" else None)
         policy = shd.usp_policy()
         model = wan_dit.WanModel(cfg, policy)
         pshapes = jax.eval_shape(
             lambda: wan_dit.init_params(cfg, jax.random.PRNGKey(0)))
         pshapes = jax.tree.map(
-            lambda s: jax.ShapeDtypeStruct(s.shape, jnp.bfloat16), pshapes)
+            lambda s: jax.ShapeDtypeStruct(
+                s.shape,
+                jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
+            pshapes)
         pshard = shd.fsdp_param_sharding(mesh, pshapes)
         params_abs = jax.tree.map(sds, pshapes, pshard)
         b, f, hh, ww = 1, 21, 90, 160

@@ -182,6 +182,58 @@ def stage_sample(args, converted, out_dir, report):
     assert ok, "sample stage failed"
 
 
+def stage_quant(args, converted, out_dir, report):
+    """(a2) the same t2v sample under --quant int8, PSNR'd against the
+    bf16 one — the per-checkpoint quality gate the int8 serving path
+    requires before production (ops/quant.py docstring)."""
+    bf16 = report.get("sample")
+    if not isinstance(bf16, dict) or not bf16.get("ok"):
+        print("SKIP quant: no bf16 sample to compare against")
+        report["quant_int8"] = "skipped"
+        return
+    from scripts.inference import main as inf_main
+
+    save = os.path.join(out_dir, "validate_sample_int8.mp4")
+    argv = ["--task", args.task, "--size", args.size,
+            "--ckpt_dir", args.dit_dir,
+            "--frame_num", str(args.frame_num),
+            "--sample_steps", str(args.sample_steps),
+            "--quant", "int8", "--save_file", save]
+    if "vae" in converted:
+        argv += ["--vae_params", converted["vae"]]
+    if args.selftest:
+        argv += ["--smoke_tiny", "--prompt", "validation sample"]
+    elif "t5" in converted:
+        argv += ["--t5_params", converted["t5"], "--prompt", args.prompt]
+    rc = inf_main(argv)
+    psnr = None
+    try:
+        import cv2
+        import numpy as np
+
+        def frames(p):
+            cap = cv2.VideoCapture(p)
+            out = []
+            while True:
+                ok, f = cap.read()
+                if not ok:
+                    break
+                out.append(f)
+            return np.stack(out).astype(np.float32)
+
+        a, b = frames(bf16["file"]), frames(save)
+        mse = float(np.mean((a - b) ** 2))
+        psnr = 99.0 if mse == 0 else float(
+            10.0 * np.log10(255.0 ** 2 / mse))
+    except Exception as e:  # noqa: BLE001 — report, don't crash the gate
+        print(f"quant: PSNR computation failed: {e}")
+    ok = rc == 0 and psnr is not None
+    report["quant_int8"] = {"rc": rc, "file": save,
+                            "psnr_vs_bf16_db": psnr, "ok": bool(ok)}
+    print(f"quant_int8: rc={rc} PSNR vs bf16 = {psnr} dB ok={ok}")
+    assert ok, "quant stage failed"
+
+
 def stage_reward(args, out_dir, report):
     """(b) PAVRM reward at timestep buckets over the val meta list."""
     if not (args.dit_dir and args.mlp_ckpt and args.qattn_ckpt
@@ -342,6 +394,7 @@ def main(argv=None):
 
     converted = stage_convert(args, args.out_dir, report) or {}
     stage_sample(args, converted, args.out_dir, report)
+    stage_quant(args, converted, args.out_dir, report)
     if args.selftest:
         # the smoke pavrm config's override must match the fabricated DiT
         import yaml
