@@ -177,6 +177,21 @@ def main():
         composed["composed_sp8_batch1_measured_s"] = c8["composed_step_s"]
     except Exception:
         pass
+    try:
+        # measured-composed SERVING chain (scripts/estimate_serving.py:
+        # 14B i2v 720p x 81f UniPC-40 batched CFG on 8 x v5e, uly8), bf16
+        # and the int8 W8A8 path, with the audited comm intervals
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SERVING.json")) as f:
+            sv = json.load(f)
+        composed["serving_chain_bf16_s"] = sv["bf16"]["chain_compute_s"]
+        composed["serving_chain_int8_s"] = sv["int8"]["chain_compute_s"]
+        composed["serving_int8_speedup"] = sv["int8_speedup_compute"]
+        if "chain_interval_chunked_async_s" in sv["int8"]:
+            composed["serving_int8_interval_s"] = (
+                sv["int8"]["chain_interval_chunked_async_s"])
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "prfl_step_seconds_0.6b_3120tok_40step_1chip",
         "value": round(sec, 3),

@@ -129,16 +129,18 @@ def _child(stage: str, out_path: str) -> None:
         # usp = ring=2 x ulysses=4 (the xfuser-style USP pod); usp_uly8 =
         # pure Ulysses over all 8 chips (40 heads % 8 == 0) — the audit
         # quantifies the ring-kv permute toll the topology choice carries;
-        # usp_int8 = the W8A8 serving path (WanConfig.quant_dense): proves
-        # the full 14B int8 chain compiles multi-chip and that the int8
-        # weight re-gathers halve the per-step gather wire
-        ring = 1 if stage == "usp_uly8" else 2
+        # usp_int8 / usp_uly8_int8 = the W8A8 serving path
+        # (WanConfig.quant_dense): proves the full 14B int8 chain compiles
+        # multi-chip and that the int8 weight re-gathers halve the
+        # per-step gather wire (the uly8 variant prices the serving
+        # estimator's topology, scripts/estimate_serving.py)
+        ring = 1 if stage.startswith("usp_uly8") else 2
         mesh = Mesh(np.array(topo.devices).reshape(1, ring, 8 // ring),
                     ("data", "ring", "sp"))
         chip = "v5e"
         cfg = wan_dit.i2v_14b(
             remat=False,
-            quant_dense="int8" if stage == "usp_int8" else None)
+            quant_dense="int8" if stage.endswith("int8") else None)
         policy = shd.usp_policy()
         model = wan_dit.WanModel(cfg, policy)
         pshapes = jax.eval_shape(
