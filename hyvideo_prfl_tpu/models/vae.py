@@ -357,8 +357,13 @@ def init_vae_params(cfg: VAEConfig, rng, t=5, h=32, w=32):
 
 
 def _conv3d(p, x, temporal_pad=0, spatial="SAME", strides=(1, 1, 1)):
-    """flax-Conv-compatible conv_general_dilated on a param dict."""
-    k = p["kernel"]
+    """flax-Conv-compatible conv_general_dilated on a param dict.
+
+    Runs in x.dtype (params cast at use): with the bf16 streaming option
+    the convs, activations AND the carried caches are all bf16 — halving
+    the decode working set (the fp32 720p x 81f stream needs ~8.4 GB of
+    caches + 7.3 GB of temps, over a 16 GB chip's budget)."""
+    k = p["kernel"].astype(x.dtype)
     kt, kh, kw = k.shape[0], k.shape[1], k.shape[2]
     if spatial == "SAME":
         pad = [(temporal_pad, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)]
@@ -368,7 +373,7 @@ def _conv3d(p, x, temporal_pad=0, spatial="SAME", strides=(1, 1, 1)):
         x, k, window_strides=strides, padding=pad,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
-    return y + p["bias"]
+    return y + p["bias"].astype(x.dtype)
 
 
 class _Stream:
@@ -404,7 +409,8 @@ def _res_block_stream(p, st, prefix, x):
 def _attn_stream(p, x):
     b, t, h, w, c = x.shape
     y = _rms_norm_vae(x, p["norm_gamma"]).reshape(b * t, h * w, c)
-    qkv = y @ p["to_qkv"]["kernel"] + p["to_qkv"]["bias"]
+    qkv = (y @ p["to_qkv"]["kernel"].astype(y.dtype)
+           + p["to_qkv"]["bias"].astype(y.dtype))
     q, k, v = jnp.split(qkv, 3, axis=-1)
     logits = jnp.einsum("bqc,bkc->bqk", q, k,
                         preferred_element_type=jnp.float32)
@@ -412,7 +418,8 @@ def _attn_stream(p, x):
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     o = jnp.einsum("bqk,bkc->bqc", probs, v,
                    preferred_element_type=jnp.float32).astype(x.dtype)
-    o = o @ p["proj"]["kernel"] + p["proj"]["bias"]
+    o = (o @ p["proj"]["kernel"].astype(o.dtype)
+         + p["proj"]["bias"].astype(o.dtype))
     return x + o.reshape(b, t, h, w, c)
 
 
@@ -431,14 +438,20 @@ def _upsample_stream(p, st, prefix, x, temporal, first):
     return _conv3d(p["conv_spatial"], x)
 
 
-def _decode_chunk(params, z, state, *, cfg: VAEConfig, first: bool):
+def _decode_chunk(params, z, state, *, cfg: VAEConfig, first: bool,
+                  dtype=jnp.float32):
     """Decode `z` [B, Tc, h, w, zdim] latent frames given stream state;
-    returns (frames, new_state). Mirrors WanVAE.decode + Decoder3d."""
+    returns (frames, new_state). Mirrors WanVAE.decode + Decoder3d.
+
+    `dtype` is the stream compute dtype: bf16 halves activations, conv
+    temps AND the carried caches (norms keep fp32 islands; the output is
+    clipped fp32 either way) — the single-chip fallback for shapes whose
+    fp32 stream exceeds HBM (720p x 81f needs ~16 GB fp32, ~8 GB bf16)."""
     p = params["params"]
     st = _Stream(state)
     mean, std = (jnp.asarray(LATENT_MEAN), jnp.asarray(LATENT_STD)) \
         if cfg.z_dim == 16 else (jnp.zeros((cfg.z_dim,)), jnp.ones((cfg.z_dim,)))
-    x = z.astype(jnp.float32) * std + mean
+    x = (z.astype(jnp.float32) * std + mean).astype(dtype)
     x = _conv3d(p["conv2"], x)  # 1x1 bottleneck conv (kt=1: no cache)
 
     d = p["decoder"]
@@ -482,10 +495,11 @@ def _downsample_stream(p, st, prefix, x, temporal, first):
     xin = jnp.concatenate([st.state[name], xs], axis=1)
     st.state[name] = xin[:, -1:]
     y = jax.lax.conv_general_dilated(
-        xin, p["time_conv"]["kernel"], window_strides=(2, 1, 1),
+        xin, p["time_conv"]["kernel"].astype(xin.dtype),
+        window_strides=(2, 1, 1),
         padding=[(0, 0), (0, 0), (0, 0)],
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    ) + p["time_conv"]["bias"]
+    ) + p["time_conv"]["bias"].astype(xin.dtype)
     return y
 
 
@@ -543,17 +557,24 @@ def encode_streaming(params, cfg: VAEConfig, video,
     return jnp.concatenate(outs, axis=1)
 
 
-def decode_streaming(params, cfg: VAEConfig, z, frames_per_chunk: int = 1):
+def decode_streaming(params, cfg: VAEConfig, z, frames_per_chunk: int = 1,
+                     dtype=jnp.float32, host_stream: bool = False):
     """Memory-bounded decode: latent frames stream through the decoder
     `frames_per_chunk` at a time (frame 0 always alone — its chunk shape
     differs). Peak memory is O(chunk) instead of O(clip). Exactly equals
     WanVAE.decode (the reference's chunked feat_cache path, vae.py:545-569).
 
+    `dtype=jnp.bfloat16` halves the stream (activations + caches + conv
+    temps; fp32 norm islands) — needed to fit 720p x 81f on a 16 GB chip.
+    `host_stream=True` fetches each chunk's pixels to host as it completes
+    and concatenates there (returns numpy): device memory then holds only
+    the caches + one chunk, never the full clip.
+
     Params are jit ARGUMENTS (never closed over: the remote-compile
     backend rejects >~100MB HLO literal uploads). jit caches one variant
     per (chunk shape, state structure): 3 compiles in the common case.
     """
-    fn = jax.jit(_decode_chunk, static_argnames=("cfg", "first"))
+    fn = jax.jit(_decode_chunk, static_argnames=("cfg", "first", "dtype"))
     outs = []
     state = {}
     t = z.shape[1]
@@ -561,7 +582,11 @@ def decode_streaming(params, cfg: VAEConfig, z, frames_per_chunk: int = 1):
     while i < t:
         n = 1 if i == 0 else min(frames_per_chunk, t - i)
         out, state = fn(params, z[:, i:i + n], state, cfg=cfg,
-                        first=(i == 0))
+                        first=(i == 0), dtype=dtype)
+        if host_stream:
+            out = np.asarray(out)
         outs.append(out)
         i += n
+    if host_stream:
+        return np.concatenate(outs, axis=1)
     return jnp.concatenate(outs, axis=1)

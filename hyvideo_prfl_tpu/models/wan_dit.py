@@ -92,6 +92,13 @@ class WanConfig:
     # on v5e (ops/quant.py; load via quant.quantize_params). Embeds, adaLN,
     # head, and the attention kernel stay bf16/fp32.
     quant_dense: Optional[str] = None
+    # "int8" additionally runs the SELF-attention qk^T matmul on the int8
+    # MXU (per-head symmetric q/k quantization inside the bounded flash
+    # forward — ops/flash_attention.flash_attention(qk_int8=True)).
+    # Serving-only like quant_dense; requires qk_norm (the bounded-logit
+    # guarantee); cross-attention (single-k-block) stays bf16. Kill switch
+    # HYV_FLASH_QK8=0.
+    quant_attn: Optional[str] = None
 
     @property
     def head_dim(self) -> int:
@@ -381,18 +388,23 @@ class SelfAttention(nn.Module):
             q = constrain(q, policy, "attn_heads_sp_tokens")
             k = constrain(k, policy, "attn_heads_sp_tokens")
             v = constrain(v, policy, "attn_heads_sp_tokens")
+            qk8 = cfg.quant_attn == "int8" and cfg.qk_norm
             if policy.usp:
                 # USP inference: ring x ulysses shard_map attention
-                # (inference_prfl.py:71-82 topology)
+                # (inference_prfl.py:71-82 topology). qk_int8 engages only
+                # at ring degree 1 (pure Ulysses); ring > 1 keeps bf16
+                # (per-hop online-softmax merges).
                 from ..ops.ring_attention import usp_attention
 
                 # qk-RMSNorm tames the logits -> fixed-max flash forward
-                out = usp_attention(q, k, v, bounded_logits=cfg.qk_norm)
+                out = usp_attention(q, k, v, bounded_logits=cfg.qk_norm,
+                                    qk_int8=qk8)
             else:
                 # explicit all_to_all Ulysses; pallas flash runs per device
                 from ..ops.attention import ulysses_attention
 
-                out = ulysses_attention(q, k, v, bounded_logits=cfg.qk_norm)
+                out = ulysses_attention(q, k, v, bounded_logits=cfg.qk_norm,
+                                        qk_int8=qk8)
         else:
             # GSPMD Ulysses: shard heads / gather sequence around the op
             hspec = "attn_heads_bnld" if qk_layout == "bnld" else "attn_heads"
@@ -400,7 +412,9 @@ class SelfAttention(nn.Module):
             k = constrain(k, policy, hspec)
             v = constrain(v, policy, "attn_heads")
             out = dot_product_attention(q, k, v, qk_layout=qk_layout,
-                                        bounded_logits=cfg.qk_norm)
+                                        bounded_logits=cfg.qk_norm,
+                                        qk_int8=cfg.quant_attn == "int8"
+                                        and cfg.qk_norm)
             out = constrain(out, policy, "attn_heads")
         out = out.reshape(b, l, cfg.dim)
         out = constrain(out, policy, "tokens")

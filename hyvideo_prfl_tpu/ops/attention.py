@@ -113,6 +113,7 @@ def dot_product_attention(
     backend: Optional[str] = None,
     qk_layout: str = "blnd",
     bounded_logits: bool = False,
+    qk_int8: bool = False,
 ) -> jnp.ndarray:
     """Multi-head attention. v is [B, Lk, N, D] (BLND); q and k are BLND, or
     head-major [B, N, L, D] with qk_layout="bnld" (the fused qknorm_rope
@@ -144,12 +145,14 @@ def dot_product_attention(
                 q = jnp.moveaxis(q, 1, 2)
                 k = jnp.moveaxis(k, 1, 2)
             return flash_attention_sharded(q, k, v, k_valid_len=k_valid_len,
-                                           bounded_logits=bounded_logits)
+                                           bounded_logits=bounded_logits,
+                                           qk_int8=qk_int8)
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, k_valid_len=k_valid_len,
                                qk_layout=qk_layout,
-                               bounded_logits=bounded_logits)
+                               bounded_logits=bounded_logits,
+                               qk_int8=qk_int8)
     return _xla_attention(q, k, v, k_valid_len, qk_layout)
 
 
@@ -182,6 +185,7 @@ def ulysses_attention(
     data_axis: str = "data",
     backend: Optional[str] = None,
     bounded_logits: bool = False,
+    qk_int8: bool = False,
 ):
     """Explicit Ulysses sequence-parallel attention via shard_map.
 
@@ -223,7 +227,8 @@ def ulysses_attention(
             # plain kernel, never the custom_partitioning wrapper
             from .flash_attention import flash_attention
 
-            o = flash_attention(qh, kh, vh, bounded_logits=bounded_logits)
+            o = flash_attention(qh, kh, vh, bounded_logits=bounded_logits,
+                                qk_int8=qk_int8)
         else:
             o = _xla_attention(qh, kh, vh, None)
         # inverse: scatter seq, gather heads

@@ -99,6 +99,9 @@ FLASH_MERGED_BWD = _os.environ.get("HYV_FLASH_MERGED_BWD", "1") == "1"
 # the lse-recompute backward are unchanged. Only engages when there is no
 # per-row dynamic mask; the "user" k_valid path keeps the shifted softmax.
 FLASH_BOUNDED = _os.environ.get("HYV_FLASH_BOUNDED", "1") == "1"
+# Kill switch for the int8 qk^T serving forward, requested per-call via
+# flash_attention(qk_int8=True) — see that docstring.
+FLASH_QK8 = _os.environ.get("HYV_FLASH_QK8", "1") == "1"
 
 
 def _encode_bounded(masked):
@@ -281,6 +284,47 @@ def _fwd_kernel_bounded(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         lb = jnp.broadcast_to(jnp.maximum(l, 1e-30), l_ref.shape)
         # natural-units lse at the kernel boundary (same VALUE as the
         # shifted path's m + log(sum exp(s - m)))
+        lse_ref[0] = (jnp.log2(lb) * LN2) if exp2 else jnp.log(lb)
+
+
+def _fwd_kernel_bounded_qk8(sqk_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                            acc_ref, l_ref, *, n_k, exp2, n_pad=0):
+    """Fixed-max streaming forward with the qk^T matmul on the int8 MXU
+    (serving-only; see flash_attention(qk_int8=True)). q/k arrive s8 with
+    per-(batch*head) symmetric scales pre-multiplied into sqk (softmax
+    scale and log2e folded in too); s8 x s8 -> s32 runs at 2x the bf16 MXU
+    rate (measured 329 TOPS at this tile vs 178 TF/s bf16 —
+    scripts/probe_int8_rate.py), and the dequant is ONE fused elementwise
+    chain over the score tile: p = exp2(s32 * c). Zero-padded key columns
+    quantize to 0 -> s32 = 0 -> p = 1, removed as a constant at finish
+    (the padfree correction). p.v stays bf16."""
+    k_idx = pl.program_id(2)
+    expf = jnp.exp2 if exp2 else jnp.exp
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    c = sqk_ref[pl.program_id(0)]
+    s32 = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [BQ, BK]
+    p = expf(s32.astype(jnp.float32) * c)
+    l_new = l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] += jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(k_idx == n_k - 1)
+    def _finish():
+        l = l_ref[:, :1] - n_pad
+        l_safe = jnp.where(l <= 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        lb = jnp.broadcast_to(jnp.maximum(l, 1e-30), l_ref.shape)
         lse_ref[0] = (jnp.log2(lb) * LN2) if exp2 else jnp.log(lb)
 
 
@@ -635,6 +679,67 @@ def _flash_fwd_single(q, k, v, valid, block_q, block_k, scale, masked,
     return o, lse
 
 
+def _quantize_bn(x):
+    """[BN, L, D] float -> (s8 values, per-BN f32 scales). Symmetric
+    per-(batch*head) quantization: one scalar per attention head — the
+    dequant then folds into the kernel's exp2 argument at zero extra VPU
+    passes (a per-token scale would cost two [BQ, BK] multiplies per tile,
+    exactly the VPU passes the bounded forward exists to remove). qk-RMSNorm
+    equalizes per-token energy, so the per-head scalar loses little; the
+    padfree zero columns quantize to exactly 0."""
+    xf = x.astype(jnp.float32)
+    a = jnp.max(jnp.abs(xf), axis=(1, 2))  # [BN]
+    s = jnp.maximum(a, 1e-30) / 127.0
+    x8 = jnp.clip(jnp.round(xf / s[:, None, None]), -127, 127
+                  ).astype(jnp.int8)
+    return x8, s
+
+
+def _flash_fwd_qk8(q, k, v, block_q, block_k, lk_true):
+    """Bounded+padfree forward with int8 qk^T (no dynamic k_valid path,
+    no backward: serving only — see flash_attention(qk_int8=True))."""
+    bn, lq, d = q.shape
+    lk = k.shape[1]
+    n_q = lq // block_q
+    n_k = lk // block_k
+    scale = 1.0 / (d ** 0.5)
+    q8, sq = _quantize_bn(q)
+    k8, sk = _quantize_bn(k)
+    sqk = sq * sk * (scale * (LOG2E if FLASH_EXP2 else 1.0))  # [BN]
+    kernel = functools.partial(
+        _fwd_kernel_bounded_qk8, n_k=n_k, exp2=FLASH_EXP2,
+        n_pad=lk - lk_true,
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bn, n_q, n_k),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, j, s_: (b, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j, s_: (b, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j, s_: (b, j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, j, s_: (b, i, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda b, i, j, s_: (b, i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, d), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bn, lq, d), v.dtype),
+            jax.ShapeDtypeStruct((bn, lq, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(sqk, q8, k8, v)
+    return o, lse
+
+
 def _flash_fwd(q, k, v, valid, block_q, block_k, masked, lk_true):
     o, lse = _flash_fwd_impl(q, k, v, valid, block_q, block_k, masked,
                              lk_true)
@@ -831,6 +936,7 @@ def flash_attention(
     block_k: Optional[int] = None,
     qk_layout: str = "blnd",
     bounded_logits: bool = False,
+    qk_int8: bool = False,
 ) -> jnp.ndarray:
     """Flash attention; returns [B, Lq, N, D]. v is BLND; q/k are BLND, or
     already head-major [B, N, L, D] (qk_layout="bnld" — the qknorm_rope
@@ -839,7 +945,17 @@ def flash_attention(
     bounded_logits: caller asserts its logits stay far inside the
     fp32-exp range (e.g. qk-RMSNormed attention) — enables the fixed-max
     forward softmax (see FLASH_BOUNDED). Default OFF: un-normed callers
-    get the overflow-safe shifted softmax."""
+    get the overflow-safe shifted softmax.
+
+    qk_int8: SERVING-ONLY (forward has no VJP — differentiating it gives
+    zero grads through the rounding): quantize q/k per head to s8 and run
+    the qk^T matmul on the int8 MXU at ~2x the bf16 rate (W8A8 attention,
+    the attention-side sibling of WanConfig.quant_dense; quantization
+    error ~0.5% on the logits — gate per checkpoint like quant_int8 in
+    scripts/validate_released.py). Requires bounded_logits and no
+    k_valid_len; multi-k-block shapes only (the single-block cross-attn
+    path stays bf16 — it is ~10% of serving attention time). Kill switch
+    HYV_FLASH_QK8=0."""
     bnld_in = qk_layout == "bnld"
     if bnld_in:
         b, n, lq, d = q.shape
@@ -885,8 +1001,12 @@ def flash_attention(
         masked = _pad_mode()
     else:
         masked = None
-    if bounded_logits:
-        masked = _encode_bounded(masked)
-    o = _flash(qb, kb, vb, valid, block_q, block_k, masked, lk)
+    if (qk_int8 and FLASH_QK8 and bounded_logits and FLASH_BOUNDED
+            and k_valid_len is None and lk_p // block_k > 1):
+        o, _ = _flash_fwd_qk8(qb, kb, vb, block_q, block_k, lk)
+    else:
+        if bounded_logits:
+            masked = _encode_bounded(masked)
+        o = _flash(qb, kb, vb, valid, block_q, block_k, masked, lk)
     o = o[:, :lq].reshape(b, n, lq, d)
     return jnp.moveaxis(o, 1, 2)

@@ -45,7 +45,7 @@ def _to_bnld(x, lp):
     return x
 
 
-def _fwd_local(q, k, v, valid, masked=True, bounded=False):
+def _fwd_local(q, k, v, valid, masked=True, bounded=False, qk_int8=False):
     """Per-shard forward: BLND in, (o BLND, lse [B,N,Lq,128]) out."""
     b, lq, n, d = q.shape
     lk = k.shape[1]
@@ -54,9 +54,15 @@ def _fwd_local(q, k, v, valid, masked=True, bounded=False):
     qb, kb, vb = _to_bnld(q, lq_p), _to_bnld(k, lk_p), _to_bnld(v, lk_p)
     validr = jnp.repeat(valid.astype(jnp.int32), n)
     mode = "user" if masked else (fa._pad_mode() if lk_p != lk else None)
-    if bounded and not masked:
-        mode = fa._encode_bounded(mode)
-    o, lse = _flash_fwd_impl(qb, kb, vb, validr, block_q, block_k, mode, lk)
+    if (qk_int8 and fa.FLASH_QK8 and bounded and fa.FLASH_BOUNDED
+            and not masked and lk_p // block_k > 1):
+        # int8 qk^T serving forward (see flash_attention(qk_int8=True))
+        o, lse = fa._flash_fwd_qk8(qb, kb, vb, block_q, block_k, lk)
+    else:
+        if bounded and not masked:
+            mode = fa._encode_bounded(mode)
+        o, lse = _flash_fwd_impl(qb, kb, vb, validr, block_q, block_k,
+                                 mode, lk)
     o = o[:, :lq].reshape(b, n, lq, d)
     return jnp.moveaxis(o, 1, 2), lse[:, :lq].reshape(b, n, lq, 128)
 
@@ -111,9 +117,9 @@ def _fwd_infer(mesh, arg_shapes, result_shape):
     )
 
 
-def _make_fwd_cp(masked, bounded=False):
+def _make_fwd_cp(masked, bounded=False, qk_int8=False):
     def fn(q, k, v, valid):
-        return _fwd_local(q, k, v, valid, masked, bounded)
+        return _fwd_local(q, k, v, valid, masked, bounded, qk_int8)
 
     def partition(mesh, arg_shapes, result_shape):
         m, _, out, args = _fwd_partition(mesh, arg_shapes, result_shape)
@@ -129,10 +135,13 @@ def _make_fwd_cp(masked, bounded=False):
     return cp
 
 
-# keyed by (masked, bounded) — the backward never needs bounded (it
-# lse-recomputes), so _BWD_CP stays keyed by masked alone
-_FWD_CP = {(m, b): _make_fwd_cp(m, b)
-           for m in (True, False) for b in (True, False)}
+# keyed by (masked, bounded, qk_int8) — the backward never needs bounded
+# (it lse-recomputes) nor int8 (serving-only; a grad through it would use
+# the bf16 lse-recompute backward on the unquantized q/k), so _BWD_CP
+# stays keyed by masked alone
+_FWD_CP = {(m, b, i8): _make_fwd_cp(m, b, i8)
+           for m in (True, False) for b in (True, False)
+           for i8 in (True, False)}
 
 
 def _bwd_partition(mesh, arg_shapes, result_shape):
@@ -182,18 +191,18 @@ _BWD_CP = {True: _make_bwd_cp(True), False: _make_bwd_cp(False)}
 import functools
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _sharded(q, k, v, valid, masked, bounded):
-    o, _ = _FWD_CP[(masked, bounded)](q, k, v, valid)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _sharded(q, k, v, valid, masked, bounded, qk_int8=False):
+    o, _ = _FWD_CP[(masked, bounded, qk_int8)](q, k, v, valid)
     return o
 
 
-def _sharded_fwd(q, k, v, valid, masked, bounded):
-    o, lse = _FWD_CP[(masked, bounded)](q, k, v, valid)
+def _sharded_fwd(q, k, v, valid, masked, bounded, qk_int8=False):
+    o, lse = _FWD_CP[(masked, bounded, qk_int8)](q, k, v, valid)
     return o, (q, k, v, valid, o, lse)
 
 
-def _sharded_bwd(masked, bounded, res, do):
+def _sharded_bwd(masked, bounded, qk_int8, res, do):
     q, k, v, valid, o, lse = res
     dq, dk, dv = _BWD_CP[masked](q, k, v, valid, o, lse, do)
     return dq, dk, dv, None
@@ -208,6 +217,7 @@ def flash_attention_sharded(
     v: jnp.ndarray,
     k_valid_len: Optional[jnp.ndarray] = None,
     bounded_logits: bool = False,
+    qk_int8: bool = False,
 ) -> jnp.ndarray:
     """Flash attention over [B, L, N, D], partitionable by GSPMD/Shardy over
     (batch, heads). Drop-in for flash_attention in pjit'd multi-chip code."""
@@ -218,4 +228,4 @@ def flash_attention_sharded(
         else k_valid_len.astype(jnp.int32)
     )
     return _sharded(q, k, v, valid, k_valid_len is not None,
-                    bool(bounded_logits))
+                    bool(bounded_logits), bool(qk_int8))

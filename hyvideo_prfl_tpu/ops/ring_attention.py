@@ -255,6 +255,7 @@ def usp_attention(
     ulysses_axis: str = "sp",
     data_axis: str = "data",
     bounded_logits: bool = False,
+    qk_int8: bool = False,
 ):
     """USP = ring x Ulysses hybrid attention (xfuser's
     `initialize_model_parallel(ring_degree, ulysses_degree)` topology,
@@ -269,12 +270,18 @@ def usp_attention(
     HYV_ULYSSES_CHUNKS > 1 splits the sandwich over head groups (identical
     numerics) so per-chunk a2a can overlap the previous chunk's ring pass
     under async-a2a lowering (ops/attention.ulysses_chunks).
+
+    qk_int8 engages the int8 qk^T serving forward when the ring degree is
+    1 (pure Ulysses — the bounded kernel with no ring merges); ring > 1
+    keeps bf16 (the per-hop online-softmax merge path).
     """
+    from . import flash_attention as fa
     from .attention import ulysses_chunks
 
     mesh = jax.sharding.get_abstract_mesh()
     spec = P(data_axis, (ring_axis, ulysses_axis), None, None)
     u = mesh.shape.get(ulysses_axis, 1)
+    ring_n = mesh.shape.get(ring_axis, 1)
     chunks = ulysses_chunks(q.shape[2], u)
 
     def one_chunk(q, k, v):
@@ -283,7 +290,12 @@ def usp_attention(
                 x, ulysses_axis, split_axis=2, concat_axis=1, tiled=True)
 
         qh, kh, vh = a2a_heads(q), a2a_heads(k), a2a_heads(v)
-        o = _ring_inner(qh, kh, vh, ring_axis, bool(bounded_logits))
+        if qk_int8 and ring_n == 1:
+            o = fa.flash_attention(qh, kh, vh,
+                                   bounded_logits=bool(bounded_logits),
+                                   qk_int8=True)
+        else:
+            o = _ring_inner(qh, kh, vh, ring_axis, bool(bounded_logits))
         return jax.lax.all_to_all(
             o, ulysses_axis, split_axis=1, concat_axis=2, tiled=True)
 

@@ -26,11 +26,17 @@ def main():
     p.add_argument("--save_file", default="out.mp4")
     p.add_argument("--decode_chunk", type=int, default=1,
                    help="latent frames per streaming chunk; 0 = whole-clip")
+    p.add_argument("--dtype", default="auto",
+                   choices=("auto", "float32", "bfloat16"),
+                   help="stream compute dtype; auto picks bfloat16 when the "
+                        "pixel volume is too large for a single-chip fp32 "
+                        "stream (720p x 81f fp32 needs ~16 GB HBM)")
     p.add_argument("--fps", type=int, default=15)
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
 
     import jax
+    import jax.numpy as jnp
 
     from hyvideo_prfl_tpu.models import vae as vae_mod
     from hyvideo_prfl_tpu.utils import checkpoint as ck
@@ -45,9 +51,20 @@ def main():
     # config from the checkpoint itself (works for released-full and tiny
     # test checkpoints alike; models/vae.infer_config)
     cfg = vae_mod.infer_config(params)
+    if args.dtype == "auto":
+        # pixel frames x H x W after the (4x, 8x, 8x) upsample; 64M is
+        # between 480p x 81f (32M: fp32 fits 16 GB) and 720p x 81f (75M:
+        # fp32 OOMs, bf16 measured ~8 GB)
+        t_up = 2 ** sum(cfg.temporal_downsample)
+        pixels = (1 + (lat.shape[1] - 1) * t_up) * lat.shape[2] * lat.shape[3] * 64
+        dtype = jnp.bfloat16 if pixels > 64e6 else jnp.float32
+    else:
+        dtype = jnp.dtype(args.dtype)
+    logging.info("decode dtype: %s", jnp.dtype(dtype).name)
     if args.decode_chunk > 0:
         video = vae_mod.decode_streaming(params, cfg, lat,
-                                         frames_per_chunk=args.decode_chunk)
+                                         frames_per_chunk=args.decode_chunk,
+                                         dtype=dtype, host_stream=True)
     else:
         vae = vae_mod.WanVAE(cfg)
         video = vae.apply(params, lat, method=vae.decode)

@@ -119,6 +119,11 @@ def args_init(argv=None):
                         "(~2.2x the bf16 dense rate on v5e; ops/quant.py). "
                         "Quality is checkpoint-dependent — compare against "
                         "a bf16 sample before production use")
+    p.add_argument("--quant_attn", choices=("none", "int8"), default="none",
+                   help="additionally run the self-attention qk^T matmul "
+                        "on the int8 MXU (per-head q/k quantization inside "
+                        "the bounded flash forward; ring_size must be 1). "
+                        "Same quality caveat as --quant")
     p.add_argument("--save_file", default="out.mp4")
     p.add_argument("--save_folder", default=None,
                    help="directory for outputs (inference_prfl.py "
@@ -426,6 +431,17 @@ def main(argv=None):
                                         clip_shape=clip_shape))
         params = quant_mod.quantize_params(params, qshapes)
         logging.info("quantized block matmuls to int8 (W8A8 serving path)")
+
+    if args.quant_attn == "int8":
+        import dataclasses as _dc
+
+        if args.ring_size > 1:
+            logging.warning("--quant_attn int8 needs ring_size 1 (pure "
+                            "Ulysses); keeping bf16 attention")
+        else:
+            dit_cfg = _dc.replace(dit_cfg, quant_attn="int8")
+            logging.info("int8 qk^T self-attention enabled "
+                         "(flash_attention qk_int8)")
 
     n_dev = len(jax.devices())
     sp = min(args.ulysses_size, n_dev)

@@ -7,6 +7,8 @@ against the quant model's eval_shape), tiny-model output drift vs the
 bf16 model, and the sharded/jitted path on the 8-device mesh (int8
 kernels take the same FSDP shardings as bf16 ones; scales replicate)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -112,3 +114,137 @@ def test_int8_sharded_serving_forward():
     np.testing.assert_allclose(
         np.asarray(o_sharded, dtype=np.float32),
         np.asarray(o_single, dtype=np.float32), atol=2e-2, rtol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# int8 qk^T serving attention (flash_attention(qk_int8=True) /
+# WanConfig.quant_attn) — the attention-side sibling of quant_dense
+# ---------------------------------------------------------------------------
+
+
+def _qkv(L, heads=2, batch=2, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    mk = lambda k, s: (jax.random.normal(k, (batch, L, heads, 128)) * s
+                       ).astype(jnp.bfloat16)
+    return mk(ks[0], 0.08), mk(ks[1], 0.08), mk(ks[2], 1.0)
+
+
+def test_qk_int8_matches_bounded_and_routes(monkeypatch):
+    """Multi-k-block int8 qk^T == the bf16 bounded kernel to quantization
+    tolerance (incl. the ragged-lk padfree correction: zero-padded key
+    columns quantize to exactly 0 -> p = 1, removed at finish), and the
+    routing guards hold: dynamic k_valid and un-bounded callers never get
+    the int8 kernel."""
+    from hyvideo_prfl_tpu.ops import flash_attention as fa
+
+    calls = []
+    orig = fa._flash_fwd_qk8
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fa, "_flash_fwd_qk8", spy)
+
+    for L in (1024, 900):  # aligned and ragged (padfree through int8)
+        q, k, v = _qkv(L)
+        ref = fa.flash_attention(q, k, v, block_q=256, block_k=256,
+                                 bounded_logits=True)
+        out = fa.flash_attention(q, k, v, block_q=256, block_k=256,
+                                 bounded_logits=True, qk_int8=True)
+        d = np.abs(np.asarray(ref, np.float32) - np.asarray(out, np.float32))
+        assert d.max() < 5e-3, (L, d.max())
+    assert len(calls) == 2
+
+    q, k, v = _qkv(1024)
+    # dynamic k_valid keeps the shifted bf16 path
+    fa.flash_attention(q, k, v, k_valid_len=jnp.array([800, 1024]),
+                       block_q=256, block_k=256, bounded_logits=True,
+                       qk_int8=True)
+    # un-bounded callers keep bf16 (no tame-logit guarantee)
+    fa.flash_attention(q, k, v, block_q=256, block_k=256, qk_int8=True)
+    # single-k-block shapes keep bf16 (cross-attention path)
+    fa.flash_attention(q, k, v, block_q=256, block_k=1024,
+                       bounded_logits=True, qk_int8=True)
+    assert len(calls) == 2
+
+
+def test_quant_attn_model_drift(monkeypatch):
+    """WanConfig.quant_attn='int8' routes every layer's self-attention
+    through the int8 qk^T kernel (spied) with small end-to-end drift;
+    cross-attention (single-k-block) stays bf16."""
+    from hyvideo_prfl_tpu.ops import attention as attn_mod
+    from hyvideo_prfl_tpu.ops import flash_attention as fa
+
+    # shrink the full-K threshold so 1,024 self-attn tokens stream
+    # multi-k-block (the int8 kernel's regime) even at test scale
+    monkeypatch.setattr(fa, "FULL_K_MAX", 512)
+    monkeypatch.setattr(fa, "DEFAULT_BLOCK_K", 256)
+    calls = []
+    orig = fa._flash_fwd_qk8
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fa, "_flash_fwd_qk8", spy)
+
+    cfg = wan_dit.tiny_test(remat=False)
+    cfg_q = dataclasses.replace(cfg, quant_attn="int8")
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 16, 16, 16)) * 0.5
+    t = jnp.full((1,), 500.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(3),
+                            (1, cfg.text_len, cfg.text_dim)) * 0.2
+    p = wan_dit.WanModel(cfg).init(jax.random.PRNGKey(0), x, t, ctx)
+
+    attn_mod.set_default_backend("flash")
+    try:
+        o_ref = wan_dit.WanModel(cfg).apply(p, x, t, ctx)
+        n_before = len(calls)
+        o_q = wan_dit.WanModel(cfg_q).apply(p, x, t, ctx)
+    finally:
+        attn_mod.set_default_backend("auto")
+    assert n_before == 0
+    assert len(calls) == cfg.num_layers  # one int8 self-attn per layer
+    rel = float(jnp.linalg.norm((o_q - o_ref).astype(jnp.float32))
+                / jnp.linalg.norm(o_ref.astype(jnp.float32)))
+    assert rel < 0.02, rel
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_quant_attn_usp_uly8_sharded(monkeypatch):
+    """quant_attn under the pure-Ulysses USP serving mesh (ring=1): the
+    shard_map path routes to the int8 kernel per device and matches the
+    single-device int8 forward."""
+    from hyvideo_prfl_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(fa, "FULL_K_MAX", 512)
+    monkeypatch.setattr(fa, "DEFAULT_BLOCK_K", 256)
+    calls = []
+    orig = fa._flash_fwd_qk8
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fa, "_flash_fwd_qk8", spy)
+
+    cfg = wan_dit.tiny_test(remat=False, quant_attn="int8")
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 16, 16, 16)) * 0.5
+    t = jnp.full((1,), 500.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(3),
+                            (1, cfg.text_len, cfg.text_dim)) * 0.2
+    p = wan_dit.WanModel(cfg).init(jax.random.PRNGKey(0), x, t, ctx)
+    o_single = wan_dit.WanModel(cfg).apply(p, x, t, ctx)
+    n_single = len(calls)
+    assert n_single == cfg.num_layers
+
+    mesh = shd.make_mesh(data=4, ring=1, sp=2)
+    policy = shd.usp_policy()
+    model = wan_dit.WanModel(cfg, policy)
+    with jax.set_mesh(mesh):
+        o_sharded = jax.jit(model.apply)(p, x, t, ctx)
+    assert len(calls) > n_single  # the shard_map body traced the int8 path
+    np.testing.assert_allclose(
+        np.asarray(o_sharded, np.float32), np.asarray(o_single, np.float32),
+        atol=2e-2, rtol=2e-2)

@@ -148,6 +148,27 @@ def test_streaming_decode_matches_whole_clip(full_vae):
                                    atol=2e-5, rtol=2e-5)
 
 
+def test_streaming_decode_host_stream_and_bf16(full_vae):
+    """host_stream=True returns the identical pixels as the on-device
+    concat (numpy, chunk-fetched — the single-chip big-clip path), and the
+    bf16 stream option stays close to the fp32 decode (fp32 norm islands;
+    the single-chip 720p x 81f fallback — scripts/decode_latents.py picks
+    it automatically above the fp32 HBM budget)."""
+    cfg, params = full_vae
+    z = jax.random.normal(jax.random.PRNGKey(5), (1, 5, 4, 4, 16)) * 0.3
+    ref = vae_mod.decode_streaming(params, cfg, z, frames_per_chunk=2)
+    host = vae_mod.decode_streaming(params, cfg, z, frames_per_chunk=2,
+                                    host_stream=True)
+    assert isinstance(host, np.ndarray)
+    np.testing.assert_array_equal(host, np.asarray(ref))
+
+    bf16 = vae_mod.decode_streaming(params, cfg, z, frames_per_chunk=2,
+                                    dtype=jnp.bfloat16, host_stream=True)
+    assert bf16.dtype == np.float32  # output is clipped fp32 either way
+    err = np.abs(bf16 - np.asarray(ref)).max()
+    assert err < 0.05, f"bf16 stream drifted {err} from fp32"
+
+
 def test_streaming_encode_matches_whole_clip(full_vae):
     """encode_streaming (1 + 4k pixel-frame chunks, per-conv cache) ==
     whole-clip encode — the reference's chunked encode (vae.py:517-543)."""
