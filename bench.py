@@ -190,6 +190,11 @@ def main():
         if "chain_interval_chunked_async_s" in sv["int8"]:
             composed["serving_int8_interval_s"] = (
                 sv["int8"]["chain_interval_chunked_async_s"])
+        if "end_to_end_with_decode_s" in sv["int8"]:
+            # sampling chain + the once-per-clip W-sharded VAE decode tail
+            # (scripts/profile_vae_decode.py)
+            composed["serving_int8_e2e_with_decode_s"] = (
+                sv["int8"]["end_to_end_with_decode_s"])
     except Exception:
         pass
     print(json.dumps({

@@ -183,8 +183,13 @@ def _measure():
 
 
 def main():
-    out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_SERVING.json")
+    out_path = os.environ.get("HYV_BENCH_SERVING_PATH") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SERVING.json")
+    vae_decode = None
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            vae_decode = json.load(f).get("vae_decode")
     if "--recompose" in sys.argv:
         # rebuild the composition from the last run's measured components
         # (no chip access) — used when COMM_AUDIT gains rows after the
@@ -274,6 +279,25 @@ def main():
             suspicious.append(f"{tag} rate above hardware peak")
     out["int8_speedup_compute"] = round(
         out["bf16"]["chain_compute_s"] / out["int8"]["chain_compute_s"], 3)
+    if vae_decode is not None:
+        # once-per-clip tail: the W/8 per-device slice is the 8-chip
+        # spatial-sharded production decode (VAEConfig.spatial_shard; the
+        # conv halo exchange moves a few rows per chunk — negligible wire),
+        # run after the sampling chain on the same slice
+        out["vae_decode"] = vae_decode
+        cands = [vae_decode.get("decode_720p81f_Wshard8_dev_fp32_s"),
+                 vae_decode.get("decode_720p81f_Wshard8_dev_bf16_s")]
+        cands = [c for c in cands if c is not None]
+        tail = min(cands) if cands else None
+        if tail is not None:
+            for tag in ("bf16", "int8"):
+                row = out[tag]
+                key = ("chain_interval_chunked_async_s"
+                       if "chain_interval_chunked_async_s" in row
+                       else "chain_interval_s")
+                if key in row:
+                    row["end_to_end_with_decode_s"] = [
+                        round(v + tail, 1) for v in row[key]]
     if suspicious or blk_t["int8"] >= blk_t["bf16"]:
         out["suspect_contention"] = suspicious or ["int8 slower than bf16"]
         print(json.dumps({"warning": "timings look contended; rerun",

@@ -89,6 +89,18 @@ def main():
     out["shape"] = list(LAT_FULL)
     print(json.dumps(out), flush=True)
 
+    # fold the rows into BENCH_SERVING.json (estimate_serving.py preserves
+    # the key across --recompose and publishes the end-to-end tail)
+    bench_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_SERVING.json")
+    if os.path.exists(bench_path):
+        with open(bench_path) as f:
+            bench = json.load(f)
+        bench["vae_decode"] = out
+        with open(bench_path, "w") as f:
+            json.dump(bench, f, indent=2)
+        print(json.dumps({"updated": bench_path}), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -268,3 +268,47 @@ def test_train_prfl_resume_with_optimizer_state(outdir):
     # the restored AdamW state CONTINUES counting (run 1's updates carried
     # over), proving moments were loaded rather than re-initialized
     assert max_count(state2) == 2 * max_count(state)
+
+
+def test_estimate_serving_recompose_preserves_vae_row(tmp_path):
+    """--recompose (no chip access) rebuilds BENCH_SERVING from the stored
+    component timings, keeps the once-per-clip vae_decode rows folded in by
+    scripts/profile_vae_decode.py, and publishes the end-to-end (sampling +
+    W-sharded decode tail) interval from the faster of the fp32/bf16 shard
+    decodes."""
+    import json
+    import shutil
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(repo, "BENCH_SERVING.json")
+    if not os.path.exists(src):
+        pytest.skip("no BENCH_SERVING.json in tree")
+    with open(src) as f:
+        prev = json.load(f)
+    if "vae_decode" not in prev:
+        pytest.skip("vae_decode rows not yet measured")
+    work = str(tmp_path / "BENCH_SERVING.json")
+    shutil.copy(src, work)
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["HYV_BENCH_SERVING_PATH"] = work
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "estimate_serving.py"),
+         "--recompose"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    with open(work) as f:
+        out = json.load(f)
+    assert out["vae_decode"] == prev["vae_decode"]
+    tail = min(out["vae_decode"]["decode_720p81f_Wshard8_dev_fp32_s"],
+               out["vae_decode"]["decode_720p81f_Wshard8_dev_bf16_s"])
+    for tag in ("bf16", "int8"):
+        row = out[tag]
+        base = row.get("chain_interval_chunked_async_s",
+                       row.get("chain_interval_s"))
+        got = row["end_to_end_with_decode_s"]
+        assert got == [round(v + tail, 1) for v in base]
