@@ -248,3 +248,32 @@ def test_quant_attn_usp_uly8_sharded(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(o_sharded, np.float32), np.asarray(o_single, np.float32),
         atol=2e-2, rtol=2e-2)
+
+
+def test_int8_teacache_sampling_composes():
+    """The two serving features compose: the int8 W8A8 pipeline under the
+    TeaCache sampler at thresh=-1 (never skip) equals the plain int8
+    sampler, and a permissive threshold still yields finite output with
+    the skip path engaged (the residual-cache add runs on the int8
+    model's bf16 stream outputs)."""
+    from hyvideo_prfl_tpu.pipelines.pipeline import GenerateConfig, WanT2V
+
+    cfg, cfg_q, p, pq = _tiny_pair()
+    # remat-off tiny config for sampling speed, mirroring test_aux's
+    # teacache test
+    cfg_q = dataclasses.replace(cfg_q, remat=False)
+    pipe = WanT2V(cfg_q, pq)
+    ctx = jax.random.normal(jax.random.PRNGKey(1),
+                            (1, cfg.text_len, cfg.text_dim)) * 0.1
+    ctx_null = jnp.zeros_like(ctx)
+    gen = GenerateConfig(sampling_steps=4, shift=3.0, sample_solver="unipc")
+    rng = jax.random.PRNGKey(7)
+    shape = (1, 2, 8, 8, 16)
+    plain = pipe.sample(rng, shape, ctx, ctx_null, gen)
+    tc = pipe.sample_teacache(rng, shape, ctx, ctx_null, gen,
+                              thresh=-1.0, coeffs_key="t2v-1.3b")
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(tc), atol=1e-4)
+    tc_skip = pipe.sample_teacache(rng, shape, ctx, ctx_null, gen,
+                                   thresh=1e9, coeffs_key="t2v-1.3b")
+    assert np.isfinite(np.asarray(tc_skip)).all()
+    assert float(jnp.abs(tc_skip - tc).max()) > 0
