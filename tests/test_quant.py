@@ -191,7 +191,11 @@ def test_quant_attn_model_drift(monkeypatch):
 
     cfg = wan_dit.tiny_test(remat=False)
     cfg_q = dataclasses.replace(cfg, quant_attn="int8")
-    x = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 16, 16, 16)) * 0.5
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 32, 32, 16)) * 0.5
+    # grid (4, 16, 16) after the 2x2 patchify = 1,024 self-attn tokens:
+    # with FULL_K_MAX shrunk above this streams multi-k-block (the int8
+    # kernel regime); the default 256-token tiny shape stays single-block
+    # full-K and legitimately keeps bf16
     t = jnp.full((1,), 500.0)
     ctx = jax.random.normal(jax.random.PRNGKey(3),
                             (1, cfg.text_len, cfg.text_dim)) * 0.2
@@ -230,7 +234,11 @@ def test_quant_attn_usp_uly8_sharded(monkeypatch):
     monkeypatch.setattr(fa, "_flash_fwd_qk8", spy)
 
     cfg = wan_dit.tiny_test(remat=False, quant_attn="int8")
-    x = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 16, 16, 16)) * 0.5
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 32, 32, 16)) * 0.5
+    # grid (4, 16, 16) after the 2x2 patchify = 1,024 self-attn tokens:
+    # with FULL_K_MAX shrunk above this streams multi-k-block (the int8
+    # kernel regime); the default 256-token tiny shape stays single-block
+    # full-K and legitimately keeps bf16
     t = jnp.full((1,), 500.0)
     ctx = jax.random.normal(jax.random.PRNGKey(3),
                             (1, cfg.text_len, cfg.text_dim)) * 0.2
