@@ -290,7 +290,11 @@ def usp_attention(
                 x, ulysses_axis, split_axis=2, concat_axis=1, tiled=True)
 
         qh, kh, vh = a2a_heads(q), a2a_heads(k), a2a_heads(v)
-        if qk_int8 and ring_n == 1:
+        # dispatch guard: the in-tree kernel requires 128-multiple head
+        # dims (flash_attention's own assert); shapes outside that regime
+        # fall through to the regular path instead of crashing the
+        # shard_map body
+        if qk_int8 and ring_n == 1 and q.shape[-1] % 128 == 0:
             o = fa.flash_attention(qh, kh, vh,
                                    bounded_logits=bool(bounded_logits),
                                    qk_int8=True)

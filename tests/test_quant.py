@@ -200,6 +200,11 @@ def test_quant_attn_model_drift(monkeypatch):
     ctx = jax.random.normal(jax.random.PRNGKey(3),
                             (1, cfg.text_len, cfg.text_dim)) * 0.2
     p = wan_dit.WanModel(cfg).init(jax.random.PRNGKey(0), x, t, ctx)
+    # the head is zero-init: randomize it so the drift bound is
+    # non-vacuous (otherwise o_ref == o_q == 0 and rel = 0/0 = NaN)
+    h = p["params"]["head"]["head"]
+    h["kernel"] = jax.random.normal(jax.random.PRNGKey(9),
+                                    h["kernel"].shape) * 0.05
 
     attn_mod.set_default_backend("flash")
     try:
@@ -216,10 +221,13 @@ def test_quant_attn_model_drift(monkeypatch):
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
-def test_quant_attn_usp_uly8_sharded(monkeypatch):
-    """quant_attn under the pure-Ulysses USP serving mesh (ring=1): the
-    shard_map path routes to the int8 kernel per device and matches the
-    single-device int8 forward."""
+def test_quant_attn_usp_pure_ulysses_sharded(monkeypatch):
+    """quant_attn under the pure-Ulysses USP serving mesh (ring=1, the
+    uly-only topology the serving audit recommends): the shard_map path
+    routes to the int8 kernel per device and matches the single-device
+    int8 forward. dim 256 / 2 heads -> head_dim 128, the kernel's lane
+    regime (the 14B model runs uly8 at 40 heads x 128)."""
+    from hyvideo_prfl_tpu.ops import attention as attn_mod
     from hyvideo_prfl_tpu.ops import flash_attention as fa
 
     monkeypatch.setattr(fa, "FULL_K_MAX", 512)
@@ -233,21 +241,33 @@ def test_quant_attn_usp_uly8_sharded(monkeypatch):
 
     monkeypatch.setattr(fa, "_flash_fwd_qk8", spy)
 
-    cfg = wan_dit.tiny_test(remat=False, quant_attn="int8")
-    x = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 32, 32, 16)) * 0.5
+    cfg = wan_dit.tiny_test(remat=False, quant_attn="int8",
+                            dim=256, num_heads=2)
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 4, 32, 32, 16)) * 0.5
     # grid (4, 16, 16) after the 2x2 patchify = 1,024 self-attn tokens:
     # with FULL_K_MAX shrunk above this streams multi-k-block (the int8
     # kernel regime); the default 256-token tiny shape stays single-block
     # full-K and legitimately keeps bf16
-    t = jnp.full((1,), 500.0)
+    t = jnp.full((4,), 500.0)
     ctx = jax.random.normal(jax.random.PRNGKey(3),
-                            (1, cfg.text_len, cfg.text_dim)) * 0.2
+                            (4, cfg.text_len, cfg.text_dim)) * 0.2
     p = wan_dit.WanModel(cfg).init(jax.random.PRNGKey(0), x, t, ctx)
-    o_single = wan_dit.WanModel(cfg).apply(p, x, t, ctx)
+    # randomize the zero-init head so the sharded-vs-single allclose
+    # compares non-trivial outputs
+    h = p["params"]["head"]["head"]
+    h["kernel"] = jax.random.normal(jax.random.PRNGKey(9),
+                                    h["kernel"].shape) * 0.05
+    # "auto" routes to XLA off-TPU; force flash so the single-device
+    # apply exercises the int8 kernel this test is about
+    attn_mod.set_default_backend("flash")
+    try:
+        o_single = wan_dit.WanModel(cfg).apply(p, x, t, ctx)
+    finally:
+        attn_mod.set_default_backend("auto")
     n_single = len(calls)
     assert n_single == cfg.num_layers
 
-    mesh = shd.make_mesh(data=4, ring=1, sp=2)
+    mesh = shd.make_usp_mesh(data=4, ring=1, ulysses=2)
     policy = shd.usp_policy()
     model = wan_dit.WanModel(cfg, policy)
     with jax.set_mesh(mesh):
