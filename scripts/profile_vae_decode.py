@@ -90,16 +90,23 @@ def main():
     print(json.dumps(out), flush=True)
 
     # fold the rows into BENCH_SERVING.json (estimate_serving.py preserves
-    # the key across --recompose and publishes the end-to-end tail)
-    bench_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_SERVING.json")
+    # the key across --recompose and publishes the end-to-end tail).
+    # Same path override as estimate_serving.py so redirected runs stay
+    # redirected; create the file with just the vae_decode key if absent.
+    bench_path = os.environ.get("HYV_BENCH_SERVING_PATH") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SERVING.json")
+    bench = {}
     if os.path.exists(bench_path):
         with open(bench_path) as f:
             bench = json.load(f)
-        bench["vae_decode"] = out
-        with open(bench_path, "w") as f:
-            json.dump(bench, f, indent=2)
-        print(json.dumps({"updated": bench_path}), flush=True)
+    else:
+        print(json.dumps({"notice": f"{bench_path} absent; creating it "
+                          "with the vae_decode rows only"}), flush=True)
+    bench["vae_decode"] = out
+    with open(bench_path, "w") as f:
+        json.dump(bench, f, indent=2)
+    print(json.dumps({"updated": bench_path}), flush=True)
 
 
 if __name__ == "__main__":
