@@ -485,15 +485,57 @@ def _dedup_channels(cols: List[Collective]) -> List[Collective]:
 ICI_GBPS = {"v5e": 50.0, "v5p": 100.0, "v4": 50.0}
 
 
-def collective_seconds(cols: List[Collective], link_gbps: float) -> Dict:
+def group_axes_span(replica_groups: Optional[List[List[int]]],
+                    topo_shape: Optional[Tuple[int, ...]]) -> int:
+    """Number of physical torus axes a collective's replica groups span.
+
+    HLO global device ids follow the AOT topology's row-major coordinate
+    order, so unraveling each group member over `topo_shape` (e.g. (2, 4)
+    for v5e:2x4) tells which torus axes the group's traffic can ride. A
+    group confined to one axis has 1 usable ring; a group spanning k axes
+    can load-balance a bandwidth-optimal collective over k rings at once
+    (each chip owns 2 links per torus axis) — the scaling-book multi-axis
+    refinement the single-axis model is conservative about. Returns the
+    MINIMUM span over groups (the least-parallel group bounds the step).
+    """
+    if not replica_groups or not topo_shape:
+        return 1
+    spans = []
+    for g in replica_groups:
+        if len(g) <= 1:
+            continue
+        coords = np.stack([np.unravel_index(int(i), topo_shape)
+                           for i in g])
+        varying = int(sum(1 for ax in range(len(topo_shape))
+                          if len(set(coords[:, ax].tolist())) > 1))
+        spans.append(max(varying, 1))
+    return min(spans) if spans else 1
+
+
+def collective_seconds(cols: List[Collective], link_gbps: float,
+                       topo_shape: Optional[Tuple[int, ...]] = None) -> Dict:
     """Total per-step communication seconds under the ring model, plus a
-    per-opcode breakdown: {op: {bytes, wire_bytes, seconds, count}}."""
+    per-opcode breakdown: {op: {bytes, wire_bytes, seconds, count}}.
+
+    topo_shape: optional physical torus dims (e.g. (2, 4) for v5e:2x4).
+    When given, each collective's wire time divides by the number of torus
+    axes its replica groups actually span (group_axes_span) — a group laid
+    out across k axes rides k bidirectional rings concurrently. Without
+    it, the single-axis model (1 ring) prices everything — conservative
+    for multi-axis groups, and unable to distinguish uly8 (one 8-group on
+    both v5e axes) from ring2 x uly4 (two single-axis groups): VERDICT r4
+    next #6. collective-permute (ring kv rotation) always moves along ONE
+    ring regardless of span — neighbors are fixed — so it never gets the
+    multi-axis discount."""
     per_op: Dict[str, Dict[str, float]] = {}
     total_s = 0.0
     overlappable_s = 0.0
     for c in cols:
         w = c.wire_bytes() * c.count
-        s = w / (2.0 * link_gbps * 1e9)
+        axes = 1
+        if topo_shape and c.op != "collective-permute":
+            axes = group_axes_span(c.replica_groups, topo_shape)
+        s = w / (2.0 * link_gbps * 1e9 * axes)
         d = per_op.setdefault(c.op, {"bytes": 0.0, "wire_bytes": 0.0,
                                      "seconds": 0.0, "count": 0.0})
         d["bytes"] += c.bytes * c.count

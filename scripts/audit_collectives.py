@@ -288,6 +288,12 @@ def _child(stage: str, out_path: str) -> None:
     cols, warnings = hlo_comm.collect(hlo)
     link = hlo_comm.ICI_GBPS[chip]
     model_out = hlo_comm.collective_seconds(cols, link)
+    # torus-aware pricing (VERDICT r4 next #6): groups spanning k physical
+    # torus axes ride k rings concurrently — this is what separates uly8
+    # (8-group spanning both v5e axes) from ring2 x uly4 (single-axis
+    # groups), which the single-axis model prices identically
+    topo_shape = (2, 4) if chip == "v5e" else (2, 2, 2)
+    model_torus = hlo_comm.collective_seconds(cols, link, topo_shape)
 
     # Physical-floor tripwire (parser-regression guard; this bug class bit
     # twice — phase-copy overcount, then windowed-transport undercount):
@@ -327,6 +333,13 @@ def _child(stage: str, out_path: str) -> None:
         "total_seconds": round(model_out["total_seconds"], 6),
         "async_overlappable_seconds": round(
             model_out["async_overlappable_seconds"], 6),
+        "topo_shape": list(topo_shape),
+        "per_op_torus": {k: {kk: (round(vv, 6) if kk == "seconds" else vv)
+                             for kk, vv in v.items()}
+                         for k, v in model_torus["per_op"].items()},
+        "total_seconds_torus": round(model_torus["total_seconds"], 6),
+        "async_overlappable_seconds_torus": round(
+            model_torus["async_overlappable_seconds"], 6),
         "top_sites": hlo_comm.top_sites(cols, link),
     }
     if gather_floor is not None:
@@ -361,6 +374,8 @@ def reparse_stage(stage: str, out_dir: str) -> dict:
     cols, warnings = hlo_comm.collect(hlo)
     link = hlo_comm.ICI_GBPS[chip]
     model_out = hlo_comm.collective_seconds(cols, link)
+    topo_shape = (2, 4) if chip == "v5e" else (2, 2, 2)
+    model_torus = hlo_comm.collective_seconds(cols, link, topo_shape)
     domains = None
     if not base.startswith("usp"):
         # (data=2, sp=4) mesh: ids 0-3 slice 0, 4-7 slice 1
@@ -376,6 +391,13 @@ def reparse_stage(stage: str, out_dir: str) -> dict:
         "total_seconds": round(model_out["total_seconds"], 6),
         "async_overlappable_seconds": round(
             model_out["async_overlappable_seconds"], 6),
+        "topo_shape": list(topo_shape),
+        "per_op_torus": {k: {kk: (round(vv, 6) if kk == "seconds" else vv)
+                             for kk, vv in v.items()}
+                         for k, v in model_torus["per_op"].items()},
+        "total_seconds_torus": round(model_torus["total_seconds"], 6),
+        "async_overlappable_seconds_torus": round(
+            model_torus["async_overlappable_seconds"], 6),
         "top_sites": hlo_comm.top_sites(cols, link),
     }
     if stage.endswith("_async"):
@@ -387,18 +409,38 @@ def reparse_stage(stage: str, out_dir: str) -> dict:
     return result
 
 
+SPMD_REMAT_PATTERN = "Involuntary full rematerialization"
+
+
 def run_stage(stage: str, out_dir: str) -> dict:
     out_path = os.path.join(out_dir, f"comm_{stage}.json")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = ("import sys; sys.path.insert(0, %r); "
             "from scripts.audit_collectives import _child; _child(%r, %r)"
             % (repo, stage, out_path))
+    # capture child stderr: the SPMD partitioner prints "[SPMD] Involuntary
+    # full rematerialization" there when it falls back to all-gather +
+    # dynamic-slice resharding — the zero-warning invariant is pinned at
+    # tiny shapes by scripts/check_spmd_clean.py; counting it HERE pins it
+    # at the REAL 14B 720p shapes (VERDICT r4 next #4: warnings are
+    # shape-dependent, so the dim-128 proxy alone proves nothing)
     r = subprocess.run([sys.executable, "-c", code], env=_child_env(stage),
-                       cwd=repo, timeout=5400)
+                       cwd=repo, timeout=5400, capture_output=True,
+                       text=True)
+    sys.stdout.write(r.stdout)
     if r.returncode != 0:
+        sys.stderr.write(r.stderr[-4000:])
         raise RuntimeError(f"stage {stage} failed rc={r.returncode}")
+    n_remat = r.stderr.count(SPMD_REMAT_PATTERN)
     with open(out_path) as fobj:
-        return json.load(fobj)
+        result = json.load(fobj)
+    result["spmd_involuntary_remat_warnings"] = n_remat
+    with open(out_path, "w") as fobj:
+        json.dump(result, fobj, indent=2)
+    if n_remat:
+        print(f"  !! {n_remat} SPMD involuntary-remat warnings at stage "
+              f"{stage}", flush=True)
+    return result
 
 
 def main():
@@ -435,6 +477,10 @@ def main():
               f"(async-overlappable "
               f"{results[s]['async_overlappable_seconds']*1e3:.2f} ms)",
               flush=True)
+        if "total_seconds_torus" in results[s]:
+            print(f"  TORUS {results[s]['total_seconds_torus']*1e3:.2f} ms "
+                  f"(multi-axis groups ride k rings; topo "
+                  f"{results[s]['topo_shape']})", flush=True)
         dom = results[s].get("domains")
         if dom:
             print(f"  domains: ici {dom['ici_seconds']*1e3:.2f} ms | dcn "
@@ -451,6 +497,14 @@ def main():
         c_sft = results["sft"]["total_seconds"]
         c_refl = MID_MEAN * c_fwd + c_sft + LRM_FRAC * c_fwd + c_sft
         out["refl_comm_seconds"] = round(c_refl, 3)
+        # torus-aware refl comm (when the stages carry torus pricing):
+        # the tighter model shrinks the interval's no-overlap upper bound
+        ct_fwd = results["fwd"].get("total_seconds_torus")
+        ct_sft = results["sft"].get("total_seconds_torus")
+        if ct_fwd is not None and ct_sft is not None:
+            c_refl_t = (MID_MEAN * ct_fwd + ct_sft + LRM_FRAC * ct_fwd
+                        + ct_sft)
+            out["refl_comm_seconds_torus"] = round(c_refl_t, 3)
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         bc_path = os.path.join(repo, "BENCH_COMPOSED.json")
         if os.path.exists(bc_path):

@@ -19,11 +19,43 @@ backend).
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import os
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SPMD_REMAT_PATTERN = "Involuntary full rematerialization"
+
+
+@contextlib.contextmanager
+def count_spmd_warnings(res: dict):
+    """Count the SPMD partitioner's C++ stderr warnings during compile
+    (VERDICT r4 next #4: pin zero involuntary-remat at the REAL 14B
+    shapes, not just the dim-128 proxies of check_spmd_clean.py). The
+    partitioner writes to fd 2 directly, so Python-level sys.stderr
+    redirection cannot see it — dup the fd over a temp file, restore,
+    scan, and replay so nothing is hidden."""
+    tmp = tempfile.TemporaryFile(mode="w+")
+    sys.stderr.flush()
+    saved = os.dup(2)
+    os.dup2(tmp.fileno(), 2)
+    try:
+        yield res
+    finally:
+        sys.stderr.flush()
+        os.dup2(saved, 2)
+        os.close(saved)
+        tmp.seek(0)
+        text = tmp.read()
+        tmp.close()
+        res["spmd_involuntary_remat_warnings"] = (
+            res.get("spmd_involuntary_remat_warnings", 0)
+            + text.count(SPMD_REMAT_PATTERN))
+        sys.stderr.write(text)
+        sys.stderr.flush()
 
 
 def _ensure_env():
@@ -120,13 +152,15 @@ def inference_audit():
         x, _ = unipc.rollout(sched, vel, noise)
         return x
 
-    with jax.set_mesh(mesh):
-        jitted = jax.jit(sample)
-        print("lowering...", flush=True)
-        lowered = jitted.lower(params_abs, lat_abs, txt_abs, txt_abs,
-                               y_abs, clip_abs)
-        print("compiling...", flush=True)
-        compiled = lowered.compile()
+    warn = {}
+    with count_spmd_warnings(warn):
+        with jax.set_mesh(mesh):
+            jitted = jax.jit(sample)
+            print("lowering...", flush=True)
+            lowered = jitted.lower(params_abs, lat_abs, txt_abs, txt_abs,
+                                   y_abs, clip_abs)
+            print("compiling...", flush=True)
+            compiled = lowered.compile()
     ma = compiled.memory_analysis()
     import json
 
@@ -141,6 +175,7 @@ def inference_audit():
         "hbm_peak_gb_per_device": round(live / 2 ** 30, 2),
         "hbm_budget_gb": hbm_gb,
         "fits": bool(live / 2 ** 30 < hbm_gb),
+        **warn,
     }), flush=True)
     return 0
 
@@ -160,6 +195,15 @@ def main():
                         "update (ema.make_ema_update) compiles on the same "
                         "topology. All 720p reference configs enable EMA.")
     p.add_argument("--rollout", type=int, default=40)
+    p.add_argument("--accum", type=int, default=1,
+                   help="train.gradient_accumulation_steps: the reference's "
+                        "flagship 720p PRFL config trains with 5 "
+                        "(train_prfl_i2v_720.yaml:80). optax.MultiSteps "
+                        "holds a param-sized fp32 accumulated-grad tree "
+                        "whose leaves take the params' FSDP shardings "
+                        "(opt_state_shardings matches by (shape, dtype) — "
+                        "pinned by tests/test_fsdp_strategies.py) and ride "
+                        "the pinned-host offload with the moments.")
     p.add_argument("--inference", action="store_true",
                    help="serving audit instead: the 14B i2v CFG sampling "
                         "chain (720p x 81f, UniPC-40) under USP ring=2 x "
@@ -209,7 +253,8 @@ def main():
 
     params_abs = jax.tree.map(sds, pshapes, pshard)
 
-    tx = common.make_optimizer(learning_rate=1e-6)
+    tx = common.make_optimizer(learning_rate=1e-6,
+                               gradient_accumulation_steps=args.accum)
     opt_shapes = jax.eval_shape(tx.init, pshapes)
     opt_dev, opt_host = shd.opt_state_shardings(mesh, pshapes, pshard, tx)
     opt_transfer = (opt_dev, opt_host) if args.offload else None
@@ -252,12 +297,15 @@ def main():
     refl = make_refl_step(model, tx, opt_transfer=opt_transfer)
     rng_abs = jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rep)
 
-    with jax.set_mesh(mesh):
-        jitted = jax.jit(refl, donate_argnums=(0,))
-        print("lowering...", flush=True)
-        lowered = jitted.lower(state_abs, batch_abs, rng_abs, lrm_tower_abs)
-        print("compiling...", flush=True)
-        compiled = lowered.compile()
+    warn = {}
+    with count_spmd_warnings(warn):
+        with jax.set_mesh(mesh):
+            jitted = jax.jit(refl, donate_argnums=(0,))
+            print("lowering...", flush=True)
+            lowered = jitted.lower(state_abs, batch_abs, rng_abs,
+                                   lrm_tower_abs)
+            print("compiling...", flush=True)
+            compiled = lowered.compile()
     ma = compiled.memory_analysis()
     # CompiledMemoryStats sizes are PER DEVICE (the SPMD executable is
     # per-device): the measured argument bytes match the sharded
@@ -266,6 +314,7 @@ def main():
         "policy": args.policy,
         "offload": args.offload,
         "rollout": args.rollout,
+        "gradient_accumulation_steps": args.accum,
         "args_gb": round(ma.argument_size_in_bytes / 2 ** 30, 2),
         "out_gb": round(ma.output_size_in_bytes / 2 ** 30, 2),
         "donated_gb": round(ma.alias_size_in_bytes / 2 ** 30, 2),
@@ -312,6 +361,7 @@ def main():
     per_dev["hbm_peak_gb_per_device"] = round(live / 2 ** 30, 2)
     per_dev["v5p_hbm_gb"] = 95
     per_dev["fits"] = bool(live / 2 ** 30 < 95)
+    per_dev.update(warn)
     print(json.dumps(per_dev), flush=True)
 
 

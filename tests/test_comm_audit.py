@@ -347,3 +347,54 @@ def test_real_module_inventory():
     # sound, but current XLA keeps it in-body — pin the stronger claim so
     # a trip-count regression is loud.
     assert total == 3.0, total
+
+
+def test_torus_pricing_breaks_uly8_vs_ring_tie():
+    """Multi-axis torus pricing (VERDICT r4 next #6): under the single-axis
+    ring model an 8-wide a2a moving 2x the wire of a 4-wide one prices
+    IDENTICALLY to ring-kv permutes + 4-wide a2a — the documented 33.59 s
+    six-decimal tie. With topo_shape, a group spanning k physical axes
+    rides k rings: the v5e 2x4 8-group gets 2x bandwidth, single-axis
+    groups and ring permutes (fixed neighbors) do not — so uly8 prices
+    BELOW ring2 x uly4 and the model, not prose, breaks the tie."""
+    mk = hlo_comm.Collective
+    B = 1 << 24
+    topo = (2, 4)
+    # pure-Ulysses: one 8-wide a2a spanning BOTH v5e axes, wire B*8/4 = 2B
+    uly8 = [mk(op="all-to-all", bytes=B, group_size=8, count=1.0,
+               is_async=False, computation="c",
+               replica_groups=[[0, 1, 2, 3, 4, 5, 6, 7]])]
+    # ring2 x uly4: 4-wide a2a (one axis, wire B) + a ring-kv permute
+    # moving B/2 both ways (wire 2 x B/2 = B) -> total 2B, tying uly8's
+    # 2B under the single-axis model (the COMM_AUDIT 33.59 s structure)
+    r2u4 = [mk(op="all-to-all", bytes=B, group_size=4, count=1.0,
+               is_async=False, computation="c",
+               replica_groups=[[0, 1, 2, 3], [4, 5, 6, 7]]),
+            mk(op="collective-permute", bytes=B // 2, count=1.0,
+               group_size=2, is_async=True, computation="c",
+               replica_groups=[[0, 4], [1, 5], [2, 6], [3, 7]])]
+    link = 50.0
+    # single-axis model: uly8 wire 2B == r2u4 wire B + 2*2*(B/2) -> a tie
+    s_uly8 = hlo_comm.collective_seconds(uly8, link)
+    s_r2u4 = hlo_comm.collective_seconds(r2u4, link)
+    assert s_uly8["total_seconds"] == pytest.approx(
+        s_r2u4["total_seconds"], rel=1e-9)
+    # torus model: the 8-group spans both axes -> 2 rings -> half the time;
+    # the 4-group and the permutes span one axis each -> unchanged
+    t_uly8 = hlo_comm.collective_seconds(uly8, link, topo)
+    t_r2u4 = hlo_comm.collective_seconds(r2u4, link, topo)
+    assert t_uly8["total_seconds"] == pytest.approx(
+        s_uly8["total_seconds"] / 2, rel=1e-9)
+    assert t_r2u4["total_seconds"] == pytest.approx(
+        s_r2u4["total_seconds"], rel=1e-9)
+    assert t_uly8["total_seconds"] < t_r2u4["total_seconds"]
+
+    # span arithmetic on the v5p 3D torus: the full 8-group spans 3 axes,
+    # a 2x2 face spans 2, a straight pair spans 1
+    assert hlo_comm.group_axes_span([[0, 1, 2, 3, 4, 5, 6, 7]],
+                                    (2, 2, 2)) == 3
+    assert hlo_comm.group_axes_span([[0, 1, 2, 3]], (2, 2, 2)) == 2
+    assert hlo_comm.group_axes_span([[0, 4]], (2, 2, 2)) == 1
+    # mixed groups: the least-parallel group bounds the collective
+    assert hlo_comm.group_axes_span([[0, 1, 2, 3], [4, 5]], (2, 4)) == 1
+    assert hlo_comm.group_axes_span(None, (2, 4)) == 1
