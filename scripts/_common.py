@@ -296,6 +296,12 @@ class MetricLogger:
 
     def __init__(self, log_dir):
         self.writer = None
+        # metric lines go out at INFO; basicConfig in the trainer mains is
+        # a no-op when a host process (e.g. pytest) already configured
+        # handlers, leaving root at WARNING and log.txt empty — set the
+        # level explicitly so the reference's log.txt contract holds
+        # regardless of the embedding process
+        logging.getLogger().setLevel(logging.INFO)
         if jax.process_index() != 0:
             return
         os.makedirs(log_dir, exist_ok=True)
