@@ -283,6 +283,16 @@ def opt_state_shardings(mesh: Mesh, param_shapes, param_shardings, tx,
 
     dev = jax.tree.map(dev_for, opt_shapes)
     host = jax.tree.map(lambda sh: sh.with_memory_kind("pinned_host"), dev)
+    if hasattr(host, "acc_grads"):
+        # gradient accumulation (optax.MultiSteps, the reference's 720p
+        # configs run gradient_accumulation_steps=5): the param-sized
+        # acc_grads tree is read+written EVERY micro-step, so pinning it
+        # host-side buys nothing and streams ~3 param-sized trees through
+        # HBM per micro-step — the 14B audit measured 115.9 GB/dev peak
+        # (v5p overflow) with the whole state offloaded vs the AdamW
+        # moments (touched every k-th step) alone. Keep acc_grads
+        # device-resident in the "host" tree.
+        host = host._replace(acc_grads=dev.acc_grads)
     return dev, host
 
 

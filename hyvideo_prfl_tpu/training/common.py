@@ -9,7 +9,7 @@ ordinary closed-over inputs and the optimizer state only covers trainables.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import chex
 import jax
@@ -121,8 +121,71 @@ def make_optimizer(
 
     tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), inner)
     if gradient_accumulation_steps > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=gradient_accumulation_steps)
+        tx = gradient_accumulation(tx, gradient_accumulation_steps)
     return tx
+
+
+class GradAccumState(NamedTuple):
+    """Same field names as optax.MultiStepsState (minus skip_state) so the
+    sharding/offload plumbing (parallel/sharding.opt_state_shardings) and
+    orbax trees address `acc_grads` / `inner_opt_state` uniformly."""
+
+    mini_step: jnp.ndarray
+    gradient_step: jnp.ndarray
+    inner_opt_state: Any
+    acc_grads: Any
+
+
+def gradient_accumulation(tx, k: int):
+    """TPU-lean gradient accumulation (reference train_prfl.py:821-830:
+    loss/grad_accum each micro-step, optimizer step every k).
+
+    Same semantics as optax.MultiSteps (running-mean accumulation, emit
+    every k-th update, identical per-leaf math) but restructured for the
+    compiler: optax's version executes the FULL inner chain (global-norm
+    clip + AdamW) on EVERY micro-step and jnp.where-selects between the
+    old and new state trees — at 14B that materializes several extra
+    param-sized fp32 trees per micro-step (measured: 96 GB/dev of step
+    temps in the chipless AOT audit -> v5p overflow at the reference's
+    flagship gradient_accumulation_steps=5). Here the inner chain runs
+    under lax.cond ONLY on the emitting micro-step; skip steps are one
+    fused multiply-add into acc_grads. XLA allocates cond branches as a
+    union, not a sum."""
+
+    def init(params):
+        return GradAccumState(
+            mini_step=jnp.zeros((), jnp.int32),
+            gradient_step=jnp.zeros((), jnp.int32),
+            inner_opt_state=tx.init(params),
+            acc_grads=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update(updates, state, params=None, **extra):
+        # running mean: acc += (g - acc) / (n + 1), optax._acc_update parity
+        n1 = (state.mini_step + 1).astype(jnp.float32)
+        acc = jax.tree.map(
+            lambda g, a: a + (g.astype(a.dtype) - a) / n1.astype(a.dtype),
+            updates, state.acc_grads)
+        emit = state.mini_step == k - 1
+
+        def do_emit(acc, inner):
+            out, new_inner = tx.update(acc, inner, params, **extra)
+            return out, new_inner, jax.tree.map(jnp.zeros_like, acc)
+
+        def do_skip(acc, inner):
+            return jax.tree.map(jnp.zeros_like, acc), inner, acc
+
+        out, new_inner, new_acc = jax.lax.cond(
+            emit, do_emit, do_skip, acc, state.inner_opt_state)
+        new_state = GradAccumState(
+            mini_step=(state.mini_step + 1) % k,
+            gradient_step=state.gradient_step + emit.astype(jnp.int32),
+            inner_opt_state=new_inner,
+            acc_grads=new_acc,
+        )
+        return out, new_state
+
+    return optax.GradientTransformation(init, update)
 
 
 def init_train_state(params, tx) -> TrainState:

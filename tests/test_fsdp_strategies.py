@@ -235,8 +235,10 @@ def test_multisteps_acc_grads_take_fsdp_shardings():
     optax.MultiSteps, whose state holds a param-sized fp32 accumulated-grad
     tree. opt_state_shardings matches moment leaves by (shape, dtype), so
     the acc_grads tree must land on the params' FSDP shardings — never
-    silently replicated (VERDICT r4 next #5) — and ride the pinned-host
-    offload with the moments. A functional accumulate+apply step under the
+    silently replicated (VERDICT r4 next #5) — and stay DEVICE-resident
+    under the offload (it is read+written every micro-step; offloading it
+    measured 115.9 GB/dev peak at 14B vs moments-only offload — see
+    opt_state_shardings). A functional accumulate+apply step under the
     sharded state must equal the unsharded one."""
     import optax
 
@@ -257,8 +259,13 @@ def test_multisteps_acc_grads_take_fsdp_shardings():
     assert acc_dev["w1"].spec == pshard["w1"].spec
     assert acc_dev["w2"].spec == pshard["w2"].spec
     assert _axes_used(acc_dev["w1"]), "acc_grads w1 must be FSDP-sharded"
-    # pinned-host mirror for the offload path
-    assert host.acc_grads["w1"].memory_kind == "pinned_host"
+    # the offload tree pins the AdamW moments host-side but keeps the
+    # every-micro-step acc_grads on device
+    assert host.acc_grads["w1"].memory_kind != "pinned_host"
+    assert host.acc_grads["w1"].spec == pshard["w1"].spec
+    inner_host_kinds = {s.memory_kind
+                       for s in jax.tree.leaves(host.inner_opt_state)}
+    assert "pinned_host" in inner_host_kinds
 
     # functional: 5 sharded micro-steps == 5 unsharded micro-steps
     grads = jax.tree.map(lambda a: jnp.full_like(a, 0.1), params)
