@@ -23,7 +23,7 @@ import numpy as np
 
 from scripts._common import (
     MetricLogger, StepTimer, batched_eval, build_mesh, dit_cfg_from,
-    fsdp_strategy_from, make_sharded_state, make_train_loader,
+    fetch_full, fsdp_strategy_from, make_sharded_state, make_train_loader,
 )
 from hyvideo_prfl_tpu.configs import load_config
 from hyvideo_prfl_tpu.data.dataset import LatentCacheDataset
@@ -36,6 +36,47 @@ from hyvideo_prfl_tpu.training.pavrm import (
     make_train_step,
 )
 from hyvideo_prfl_tpu.utils import checkpoint as ck
+
+
+def export_lrm_artifacts(trainable_host, frozen_host, model, out_dir, step):
+    """Reference-format PAVRM artifacts for the PRFL handoff.
+
+    Mirrors reference train_pavrm.py:978-998 (save_checkpoint + save_model):
+    * transformer/checkpoint-<n>/ — the assembled trimmed HEAD-LESS LRM
+      transformer in wan safetensors layout (the reference deletes head +
+      non-kept blocks before saving, train_pavrm.py:219-236); consumed by
+      train_prfl's model.lrm_transformer_path.
+    * mlp/mlp_step_<n>.ckpt, mlp/query_attention_step_<n>.ckpt — torch
+      state dicts (network.py:216-217 save_model), consumed by
+      model.lrm_mlp_path / model.lrm_query_attention_path.
+    """
+    import torch
+
+    from hyvideo_prfl_tpu.utils import convert_encoders as ce
+
+    lrm_dit = common.merge_tree(
+        {"params": {"blocks": trainable_host["blocks"]}}, frozen_host)
+    lrm_dit["params"].pop("head", None)
+    ck.save_wan_checkpoint(lrm_dit, model.dit_cfg,
+                           os.path.join(out_dir, "transformer"), step=step)
+    mlp_dir = os.path.join(out_dir, "mlp")
+    os.makedirs(mlp_dir, exist_ok=True)
+
+    def save_torch(state, fname):
+        # np.array(..., copy=True): jnp-backed arrays are non-writable and
+        # torch.from_numpy warns on them
+        torch.save(
+            {k: torch.from_numpy(np.array(v, copy=True))
+             for k, v in state.items()},
+            os.path.join(mlp_dir, fname))
+
+    save_torch(ce.reward_mlp_flax_to_torch({"params": trainable_host["mlp"]}),
+               f"mlp_step_{step}.ckpt")
+    if "q_attn" in model.pc.pool:
+        save_torch(
+            ce.query_attention_flax_to_torch(
+                {"params": trainable_host["q_attn"]}),
+            f"query_attention_step_{step}.ckpt")
 
 
 def main(config, max_steps=None):
@@ -216,6 +257,18 @@ def main(config, max_steps=None):
                     # written per-host by orbax; with offload_opt_state
                     # they stream from pinned host memory)
                     ck.save_orbax(path + "-opt", state.opt_state)
+                if config.train.get("save_reference_artifacts", True):
+                    # reference-format artifacts for the PRFL handoff
+                    # (reference train_pavrm.py:978-998): the trimmed
+                    # head-less LRM transformer (wan safetensors layout) +
+                    # torch head ckpts, consumed by scripts/train_prfl.py's
+                    # model.lrm_*_path loader. Collective fetch on pods,
+                    # rank-0 writes.
+                    host = fetch_full(state.params)
+                    host_frozen = fetch_full(frozen)
+                    if jax.process_index() == 0:
+                        export_lrm_artifacts(host, host_frozen, model,
+                                             out_dir, step + 1)
                 logging.info("saved %s", path)
                 if val_dataset is not None:
                     run_eval(state, jitted_eval)

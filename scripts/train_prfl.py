@@ -71,6 +71,10 @@ def main(config, max_steps=None):
         logit_std=config.extra_model.scheduler.logit_std,
         is_i2v=is_i2v,
         is_flf2v="flf2v" in config.task,
+        # debug/dynamics knob: pin the rollout-truncation timestep so the
+        # reward metric is comparable across steps (tests/learning curves)
+        fixed_mid=(int(config.train.fixed_mid)
+                   if config.train.get("fixed_mid") is not None else None),
     )
     policy = shd.ShardingPolicy() if mesh.devices.size > 1 else None
     model = PrflModel(dit_cfg, pc, prfl_cfg, policy)
@@ -95,8 +99,31 @@ def main(config, max_steps=None):
     # --- frozen LRM tower (trimmed DiT + heads) ---
     lrm_path = config.model.lrm_transformer_path
     if lrm_path and os.path.isdir(lrm_path):
-        lrm_full = ck.load_wan_checkpoint(lrm_path, dit_cfg)
-        lrm_dit = common.slice_blocks(lrm_full, model.lrm.dit_cfg.num_layers)
+        import dataclasses
+        import json
+
+        logging.info("loading LRM transformer from %s", lrm_path)
+        # the dir may hold the FULL policy-shaped transformer (released
+        # reference layout) or the trimmed head-less tower train_pavrm.py
+        # exports (the reference removes non-kept blocks + head before
+        # save_checkpoint, train_pavrm.py:219-236, and loads strict=False,
+        # train_prfl.py:260-263): read num_layers from its config.json
+        n_lrm = model.lrm.dit_cfg.num_layers
+        n_saved = dit_cfg.num_layers
+        cfg_json = os.path.join(lrm_path, "config.json")
+        if os.path.exists(cfg_json):
+            with open(cfg_json) as f:
+                n_saved = int(json.load(f).get("num_layers", n_saved))
+        assert n_saved >= n_lrm, (
+            f"LRM checkpoint at {lrm_path} has {n_saved} blocks < the "
+            f"{n_lrm} the feature taps need")
+        lrm_full = ck.load_wan_checkpoint(
+            lrm_path, dataclasses.replace(dit_cfg, num_layers=n_saved))
+        if n_saved > n_lrm:
+            lrm_dit = common.slice_blocks(lrm_full, n_lrm)
+        else:
+            lrm_full["params"].pop("head", None)
+            lrm_dit = lrm_full
         lq = ck.load_reward_head(
             config.model.lrm_query_attention_path, "qattn")["params"]
         lm = ck.load_reward_head(config.model.lrm_mlp_path, "mlp")["params"]
