@@ -212,22 +212,29 @@ def main():
     if os.path.exists(audit_path):
         with open(audit_path) as fobj:
             stages = json.load(fobj).get("stages", {})
+        # torus-aware pricing when the audit carries it (VERDICT r4 next
+        # #6): uly8's 8-wide a2a groups span both v5e torus axes and ride
+        # 2 rings — the single-axis model overprices exactly this layout
+        # (and cannot separate it from ring2 x uly4)
+        def row_of(st):
+            return {
+                "total_s": stages[st].get("total_seconds_torus",
+                                          stages[st]["total_seconds"]),
+                "overlappable_s": stages[st].get(
+                    "async_overlappable_seconds_torus",
+                    stages[st]["async_overlappable_seconds"]),
+                "wire_model": ("torus" if "total_seconds_torus" in stages[st]
+                               else "single_axis"),
+            }
+
         for tag, st in (("bf16", "usp_uly8"), ("int8", "usp_uly8_int8")):
             if st in stages:
-                comm[tag] = {
-                    "total_s": stages[st]["total_seconds"],
-                    "overlappable_s":
-                        stages[st]["async_overlappable_seconds"],
-                }
+                comm[tag] = row_of(st)
                 # the head-chunked async recompile (HYV_ULYSSES_CHUNKS)
                 # turns the sync a2a tail into overlappable start/done
                 # pairs — the recommended serving config
                 if st + "_async" in stages:
-                    a = stages[st + "_async"]
-                    comm[tag]["async"] = {
-                        "total_s": a["total_seconds"],
-                        "overlappable_s": a["async_overlappable_seconds"],
-                    }
+                    comm[tag]["async"] = row_of(st + "_async")
 
     # --- composition + useful-FLOPs accounting (per device, per fwd) ---
     # dense: self qkvo (4 D^2 L) + cross q,o (2 D^2 L) + cross k,v/k_img,
@@ -265,6 +272,7 @@ def main():
             c = comm[tag]
             row["comm_audit_chain_s"] = round(c["total_s"], 1)
             row["comm_overlappable_s"] = round(c["overlappable_s"], 1)
+            row["comm_wire_model"] = c["wire_model"]
             # full overlap can only hide comm under compute; the sync
             # residue (total - overlappable) always adds
             def interval(cc):
