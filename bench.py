@@ -166,6 +166,11 @@ def main():
             # [full-overlap, no-overlap] against the measured compute
             composed["composed_interval_s"] = c["composed_step_interval_s"]
             composed["comm_audit_refl_s"] = c.get("comm_audit_refl_s")
+        if "composed_step_interval_async_s" in c:
+            # torus-priced, chunked-async-schedule residual bound: the
+            # tightest justified interval (VERDICT r4 next #7)
+            composed["composed_interval_async_s"] = (
+                c["composed_step_interval_async_s"])
     except Exception:
         pass
     try:

@@ -215,3 +215,53 @@ def test_pavrm_to_prfl_handoff_cli(tmp_path):
     assert last > first + 0.01, (
         f"reward did not rise through the CLI chain: "
         f"{first:.4f} -> {last:.4f}\n{np.round(rewards, 4)}")
+
+
+def test_export_lrm_artifacts_i2v_roundtrip(tmp_path):
+    """The handoff export/reload surface for the flagship i2v task: the
+    trimmed head-less transformer keeps img_emb (CLIP context MLP) and the
+    36-channel patch embedding, round-trips through the wan safetensors
+    layout with the exact key surface, and the heads round-trip through
+    the torch ckpt format (reference train_pavrm.py:978-998 for i2v
+    configs)."""
+    import dataclasses
+
+    from hyvideo_prfl_tpu.training import common as tcommon
+    from hyvideo_prfl_tpu.utils import checkpoint as ck
+    from scripts.train_pavrm import export_lrm_artifacts
+
+    dit_cfg = _tiny_dit(model_type="i2v", in_dim=36)
+    pc = PavrmConfig(loss="ce", feature_layer=(2,), trainable_blocks=(0, 1),
+                     task="i2v-14b-720p")
+    model = PavrmModel(dit_cfg, pc)
+    trainable, frozen = model.init_all(jax.random.PRNGKey(0))
+    export_lrm_artifacts(jax.device_get(trainable), jax.device_get(frozen),
+                         model, str(tmp_path), 7)
+
+    tdir = os.path.join(str(tmp_path), "transformer", "checkpoint-7")
+    assert os.path.isdir(tdir)
+    # reload through the trimmed-config path train_prfl.py uses
+    import json
+
+    with open(os.path.join(tdir, "config.json")) as f:
+        meta = json.load(f)
+    assert meta["num_layers"] == 2 and meta["model_type"] == "i2v"
+    loaded = ck.load_wan_checkpoint(
+        tdir, dataclasses.replace(dit_cfg, num_layers=2))
+    assert "head" not in loaded["params"]
+    assert "img_emb" in loaded["params"]
+    ref = tcommon.merge_tree(
+        {"params": {"blocks": trainable["blocks"]}}, frozen)
+    for path in (("img_emb",), ("patch_embedding",), ("blocks",)):
+        a = loaded["params"]
+        b = ref["params"]
+        for k in path:
+            a, b = a[k], b[k]
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       atol=1e-6)
+    mh = ck.load_reward_head(
+        os.path.join(str(tmp_path), "mlp", "mlp_step_7.ckpt"), "mlp")
+    np.testing.assert_allclose(
+        np.asarray(mh["params"]["Dense_1"]["kernel"]),
+        np.asarray(trainable["mlp"]["Dense_1"]["kernel"]), atol=1e-6)
