@@ -265,3 +265,77 @@ def test_export_lrm_artifacts_i2v_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(mh["params"]["Dense_1"]["kernel"]),
         np.asarray(trainable["mlp"]["Dense_1"]["kernel"]), atol=1e-6)
+
+
+def test_prfl_moves_toward_learned_preference():
+    """The deepest dynamics assertion: train the LRM to a KNOWN preference
+    (positive-mean latents = good, negative = bad — separable by
+    construction), freeze it, then run PRFL and verify the policy moves its
+    generations TOWARD the preferred direction (mean of the post-step
+    latent rises), not merely up some random reward surface. This is the
+    tiny-scale analog of the reference's published effect (README.md:12,
+    :86: PRFL raising the preference metrics the PAVRM was trained on)."""
+    from hyvideo_prfl_tpu.schedulers import flow_match as fm
+    from hyvideo_prfl_tpu.training.pavrm import make_train_step
+
+    dit_cfg = _tiny_dit()
+    pc = PavrmConfig(loss="ce", feature_layer=(2,), trainable_blocks=(0, 1))
+    lrm_model = PavrmModel(dit_cfg, pc)
+    trainable, frozen = lrm_model.init_all(jax.random.PRNGKey(0))
+    tx_lrm = common.make_optimizer(learning_rate=2e-3)
+    lrm_state = common.init_train_state(trainable, tx_lrm)
+    lrm_step = jax.jit(make_train_step(lrm_model, tx_lrm,
+                                       fm.train_schedule(1000)))
+
+    # teach the preference: positive-mean latents labeled 1, negative 0
+    shift = jnp.asarray([1.0, -1.0]).reshape(2, 1, 1, 1, 1)
+    rng = jax.random.PRNGKey(11)
+    losses = []
+    for i in range(15):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        batch = {
+            "latents": jax.random.normal(k1, (2, 4, 8, 8, 16)) * 0.1 + shift,
+            "text": jax.random.normal(k2, (2, dit_cfg.text_len,
+                                           dit_cfg.text_dim)) * 0.1,
+            "labels": jnp.asarray([1.0, 0.0]),
+        }
+        lrm_state, m = lrm_step(lrm_state, batch, k1, frozen)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], f"LRM never learned: {losses}"
+
+    # freeze the LEARNED preference as the PRFL reward tower
+    lrm_tower = {
+        "dit": common.merge_tree(
+            {"params": {"blocks": lrm_state.params["blocks"]}}, frozen),
+        "q": {"params": lrm_state.params["q_attn"]},
+        "m": {"params": lrm_state.params["mlp"]},
+    }
+    prfl_cfg = PrflConfig(inference_steps=6, flow_shift=3.0, fixed_mid=3)
+    model = PrflModel(dit_cfg, pc, prfl_cfg)
+    policy_params = wan_dit.init_params(dit_cfg, jax.random.PRNGKey(2))
+    policy_params = _randomize_head(policy_params, jax.random.PRNGKey(3))
+    tx = common.make_optimizer(learning_rate=1e-3)
+    state = common.init_train_state(policy_params, tx)
+    refl = jax.jit(make_refl_step(model, tx))
+
+    ks = jax.random.split(jax.random.PRNGKey(13), 2)
+    batch = {
+        "latents": jax.random.normal(ks[0], (1, 4, 8, 8, 16)),
+        "text": jax.random.normal(ks[1], (1, dit_cfg.text_len,
+                                          dit_cfg.text_dim)) * 0.1,
+    }
+    fixed_rng = jax.random.PRNGKey(17)
+    rewards, means = [], []
+    for _ in range(40):
+        state, m = refl(state, batch, fixed_rng, lrm_tower)
+        rewards.append(float(m["reward"]))
+        means.append(float(jnp.mean(m["latent_next"])))
+    assert np.isfinite(rewards).all() and np.isfinite(means).all()
+    assert rewards[-1] > rewards[0] + 0.02, (
+        f"reward did not rise vs the learned LRM: {np.round(rewards, 3)}")
+    # the policy's generations must move in the PREFERRED direction
+    # (positive mean), i.e. PRFL optimizes the preference the PAVRM
+    # learned, not an arbitrary direction
+    assert means[-1] > means[0] + 0.05, (
+        f"latents did not move toward the learned preference: "
+        f"{means[0]:.4f} -> {means[-1]:.4f}\n{np.round(means, 3)}")
