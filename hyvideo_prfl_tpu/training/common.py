@@ -128,7 +128,13 @@ def make_optimizer(
 class GradAccumState(NamedTuple):
     """Same field names as optax.MultiStepsState (minus skip_state) so the
     sharding/offload plumbing (parallel/sharding.opt_state_shardings) and
-    orbax trees address `acc_grads` / `inner_opt_state` uniformly."""
+    orbax trees address `acc_grads` / `inner_opt_state` uniformly.
+
+    Compat note: optimizer-state checkpoints written by the earlier
+    optax.MultiSteps form carry an extra `skip_state` entry and will not
+    restore onto this structure (orbax tree mismatch); strip `skip_state`
+    from the saved tree, or resume params-only (the reference's own resume
+    restarts moments from zero anyway)."""
 
     mini_step: jnp.ndarray
     gradient_step: jnp.ndarray
@@ -201,7 +207,17 @@ def apply_grads(state: TrainState, tx, grads,
     opt_transfer: optional (device_shardings, host_shardings) trees for the
     optimizer state — the pinned-host offload path (SURVEY 5.7): moments
     live in host memory between steps and stream on-device only for the
-    update, freeing ~2x param bytes of HBM at 14B."""
+    update, freeing ~2x param bytes of HBM at 14B.
+
+    Known trade-off (offload x gradient accumulation): the moment stream
+    runs on EVERY call, including the k-1 skip micro-steps where the
+    cond-gated accumulation leaves the inner state untouched — ~2 x 15 GB
+    of pinned-host traffic per micro-step at 14B, i.e. ~1-2% of a ~250 s
+    refl micro-step. Gating the transfer inside the emit branch would need
+    a lax.cond whose branches return host-memory-space trees (one freshly
+    transferred, one passed through), which the partitioner does not
+    reliably support; the flat stream is the robust form and its cost is
+    carried in the audited numbers."""
     gnorm = optax.global_norm(grads)
     opt = state.opt_state
     if opt_transfer is not None:

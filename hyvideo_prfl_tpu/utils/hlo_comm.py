@@ -500,6 +500,12 @@ def group_axes_span(replica_groups: Optional[List[List[int]]],
     """
     if not replica_groups or not topo_shape:
         return 1
+    n_topo = int(np.prod(topo_shape))
+    if any(int(i) >= n_topo for g in replica_groups for i in g):
+        # device ids beyond the assumed torus (e.g. a stage compiled on a
+        # larger topology than the hard-coded shape): degrade to the
+        # conservative single-axis model instead of crashing the audit
+        return 1
     spans = []
     for g in replica_groups:
         if len(g) <= 1:

@@ -305,10 +305,20 @@ class MetricLogger:
         if jax.process_index() != 0:
             return
         os.makedirs(log_dir, exist_ok=True)
+        root = logging.getLogger()
+        # a previous trainer main() in this process (e.g. the PAVRM->PRFL
+        # handoff chain, or back-to-back test runs) left its file handler
+        # attached — detach it, or every later line would also be appended
+        # to the OLD run's log.txt
+        for h in list(root.handlers):
+            if getattr(h, "_hyv_metric_logger", False):
+                root.removeHandler(h)
+                h.close()
         # append-only text log like the reference's log.txt
         fh = logging.FileHandler(os.path.join(log_dir, "log.txt"))
         fh.setFormatter(logging.Formatter("%(asctime)s %(message)s"))
-        logging.getLogger().addHandler(fh)
+        fh._hyv_metric_logger = True
+        root.addHandler(fh)
         try:
             from torch.utils.tensorboard import SummaryWriter
 

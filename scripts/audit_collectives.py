@@ -103,6 +103,41 @@ def _schedule_overlap(hlo: str) -> dict:
             "a2a_windows_spanning_compute": spans}
 
 
+def _priced_fields(cols, chip: str):
+    """Single-axis AND torus-priced inventory fields, shared by fresh
+    compiles (_child) and --reparse — one source of truth for the
+    chip->topo_shape map and the rounding, so the two paths cannot
+    desynchronize on the same HLO dump. Returns (link_gbps, fields)."""
+    from hyvideo_prfl_tpu.utils import hlo_comm
+
+    link = hlo_comm.ICI_GBPS[chip]
+    model_out = hlo_comm.collective_seconds(cols, link)
+    # torus-aware pricing (VERDICT r4 next #6): groups spanning k physical
+    # torus axes ride k rings concurrently — this is what separates uly8
+    # (8-group spanning both v5e axes) from ring2 x uly4 (single-axis
+    # groups), which the single-axis model prices identically
+    topo_shape = (2, 4) if chip == "v5e" else (2, 2, 2)
+    model_torus = hlo_comm.collective_seconds(cols, link, topo_shape)
+
+    def rounded(m):
+        return {k: {kk: (round(vv, 6) if kk == "seconds" else vv)
+                    for kk, vv in v.items()}
+                for k, v in m["per_op"].items()}
+
+    return link, {
+        "per_op": rounded(model_out),
+        "total_seconds": round(model_out["total_seconds"], 6),
+        "async_overlappable_seconds": round(
+            model_out["async_overlappable_seconds"], 6),
+        "topo_shape": list(topo_shape),
+        "per_op_torus": rounded(model_torus),
+        "total_seconds_torus": round(model_torus["total_seconds"], 6),
+        "async_overlappable_seconds_torus": round(
+            model_torus["async_overlappable_seconds"], 6),
+        "top_sites": hlo_comm.top_sites(cols, link),
+    }
+
+
 def _child(stage: str, out_path: str) -> None:
     """Runs inside the chipless-AOT subprocess: build, compile, inventory."""
     full_stage, stage = stage, _base_stage(stage)
@@ -286,14 +321,7 @@ def _child(stage: str, out_path: str) -> None:
         with open(out_path.replace(".json", ".hlo"), "w") as fobj:
             fobj.write(hlo)
     cols, warnings = hlo_comm.collect(hlo)
-    link = hlo_comm.ICI_GBPS[chip]
-    model_out = hlo_comm.collective_seconds(cols, link)
-    # torus-aware pricing (VERDICT r4 next #6): groups spanning k physical
-    # torus axes ride k rings concurrently — this is what separates uly8
-    # (8-group spanning both v5e axes) from ring2 x uly4 (single-axis
-    # groups), which the single-axis model prices identically
-    topo_shape = (2, 4) if chip == "v5e" else (2, 2, 2)
-    model_torus = hlo_comm.collective_seconds(cols, link, topo_shape)
+    link, priced = _priced_fields(cols, chip)
 
     # Physical-floor tripwire (parser-regression guard; this bug class bit
     # twice — phase-copy overcount, then windowed-transport undercount):
@@ -327,20 +355,7 @@ def _child(stage: str, out_path: str) -> None:
         "hlo_bytes": len(hlo),
         "n_collective_sites": len(cols),
         "warnings": warnings,
-        "per_op": {k: {kk: (round(vv, 6) if kk == "seconds" else vv)
-                       for kk, vv in v.items()}
-                   for k, v in model_out["per_op"].items()},
-        "total_seconds": round(model_out["total_seconds"], 6),
-        "async_overlappable_seconds": round(
-            model_out["async_overlappable_seconds"], 6),
-        "topo_shape": list(topo_shape),
-        "per_op_torus": {k: {kk: (round(vv, 6) if kk == "seconds" else vv)
-                             for kk, vv in v.items()}
-                         for k, v in model_torus["per_op"].items()},
-        "total_seconds_torus": round(model_torus["total_seconds"], 6),
-        "async_overlappable_seconds_torus": round(
-            model_torus["async_overlappable_seconds"], 6),
-        "top_sites": hlo_comm.top_sites(cols, link),
+        **priced,
     }
     if gather_floor is not None:
         result["gather_floor"] = gather_floor
@@ -372,10 +387,7 @@ def reparse_stage(stage: str, out_dir: str) -> dict:
     base = _base_stage(stage)
     chip = "v5e" if base.startswith("usp") else "v5p"
     cols, warnings = hlo_comm.collect(hlo)
-    link = hlo_comm.ICI_GBPS[chip]
-    model_out = hlo_comm.collective_seconds(cols, link)
-    topo_shape = (2, 4) if chip == "v5e" else (2, 2, 2)
-    model_torus = hlo_comm.collective_seconds(cols, link, topo_shape)
+    link, priced = _priced_fields(cols, chip)
     domains = None
     if not base.startswith("usp"):
         # (data=2, sp=4) mesh: ids 0-3 slice 0, 4-7 slice 1
@@ -385,34 +397,22 @@ def reparse_stage(stage: str, out_dir: str) -> dict:
         "stage": stage, "chip": chip, "link_gbps_per_dir": link,
         "per_exec": 1.0, "hlo_bytes": len(hlo),
         "n_collective_sites": len(cols), "warnings": warnings,
-        "per_op": {k: {kk: (round(vv, 6) if kk == "seconds" else vv)
-                       for kk, vv in v.items()}
-                   for k, v in model_out["per_op"].items()},
-        "total_seconds": round(model_out["total_seconds"], 6),
-        "async_overlappable_seconds": round(
-            model_out["async_overlappable_seconds"], 6),
-        "topo_shape": list(topo_shape),
-        "per_op_torus": {k: {kk: (round(vv, 6) if kk == "seconds" else vv)
-                             for kk, vv in v.items()}
-                         for k, v in model_torus["per_op"].items()},
-        "total_seconds_torus": round(model_torus["total_seconds"], 6),
-        "async_overlappable_seconds_torus": round(
-            model_torus["async_overlappable_seconds"], 6),
-        "top_sites": hlo_comm.top_sites(cols, link),
+        **priced,
     }
     if stage.endswith("_async"):
         result["schedule_overlap"] = _schedule_overlap(hlo)
     if domains is not None:
         result["domains"] = domains
-    # reparse cannot re-observe child stderr: carry the SPMD warning count
-    # forward from the original compile's record
+    # reparse cannot re-observe child stderr or the compile-time param
+    # shapes: carry the SPMD warning count and the ZeRO-3 gather-floor
+    # tripwire forward from the original compile's record
     prev = os.path.join(out_dir, f"comm_{stage}.json")
     if os.path.exists(prev):
         with open(prev) as fobj:
             old = json.load(fobj)
-        if "spmd_involuntary_remat_warnings" in old:
-            result["spmd_involuntary_remat_warnings"] = (
-                old["spmd_involuntary_remat_warnings"])
+        for key in ("spmd_involuntary_remat_warnings", "gather_floor"):
+            if key in old:
+                result[key] = old[key]
     with open(os.path.join(out_dir, f"comm_{stage}.json"), "w") as fobj:
         json.dump(result, fobj, indent=2)
     return result
@@ -432,15 +432,23 @@ def run_stage(stage: str, out_dir: str) -> dict:
     # dynamic-slice resharding — the zero-warning invariant is pinned at
     # tiny shapes by scripts/check_spmd_clean.py; counting it HERE pins it
     # at the REAL 14B 720p shapes (VERDICT r4 next #4: warnings are
-    # shape-dependent, so the dim-128 proxy alone proves nothing)
-    r = subprocess.run([sys.executable, "-c", code], env=_child_env(stage),
-                       cwd=repo, timeout=5400, capture_output=True,
-                       text=True)
-    sys.stdout.write(r.stdout)
+    # shape-dependent, so the dim-128 proxy alone proves nothing).
+    # stdout stays INHERITED so the child's lowering/compiling progress
+    # streams live (these compiles run minutes; a silent parent makes a
+    # hang indistinguishable from a slow compile); stderr is persisted
+    # whole next to the stage JSON so no compiler warning class is lost
+    # to the pattern count.
+    err_path = os.path.join(out_dir, f"comm_{stage}.stderr")
+    with open(err_path, "w") as errf:
+        r = subprocess.run([sys.executable, "-c", code],
+                           env=_child_env(stage), cwd=repo, timeout=5400,
+                           stderr=errf, text=True)
+    with open(err_path) as errf:
+        child_err = errf.read()
     if r.returncode != 0:
-        sys.stderr.write(r.stderr[-4000:])
+        sys.stderr.write(child_err[-4000:])
         raise RuntimeError(f"stage {stage} failed rc={r.returncode}")
-    n_remat = r.stderr.count(SPMD_REMAT_PATTERN)
+    n_remat = child_err.count(SPMD_REMAT_PATTERN)
     with open(out_path) as fobj:
         result = json.load(fobj)
     result["spmd_involuntary_remat_warnings"] = n_remat

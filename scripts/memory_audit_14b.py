@@ -198,12 +198,14 @@ def main():
     p.add_argument("--accum", type=int, default=1,
                    help="train.gradient_accumulation_steps: the reference's "
                         "flagship 720p PRFL config trains with 5 "
-                        "(train_prfl_i2v_720.yaml:80). optax.MultiSteps "
-                        "holds a param-sized fp32 accumulated-grad tree "
-                        "whose leaves take the params' FSDP shardings "
-                        "(opt_state_shardings matches by (shape, dtype) — "
-                        "pinned by tests/test_fsdp_strategies.py) and ride "
-                        "the pinned-host offload with the moments.")
+                        "(train_prfl_i2v_720.yaml:80). The cond-gated "
+                        "accumulation transform (training/common.py) holds "
+                        "a param-sized fp32 acc_grads tree whose leaves "
+                        "take the params' FSDP shardings (pinned by "
+                        "tests/test_fsdp_strategies.py) and stay "
+                        "DEVICE-resident even under the pinned-host "
+                        "moment offload — the accumulator is read+written "
+                        "every micro-step (parallel/sharding.py).")
     p.add_argument("--inference", action="store_true",
                    help="serving audit instead: the 14B i2v CFG sampling "
                         "chain (720p x 81f, UniPC-40) under USP ring=2 x "

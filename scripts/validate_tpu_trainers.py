@@ -61,6 +61,7 @@ finite = all(bool(np.isfinite(np.asarray(l)).all())
              for l in jax.tree.leaves(state.params))
 print("PHASE_RESULT " + json.dumps({{
     "which": which, "resumed": bool(resume), "step": int(state.step),
+    "backend": jax.default_backend(),
     "opt_updates": max_count(state), "params_finite": finite}}))
 """
 
@@ -82,8 +83,10 @@ def run_phase(which: str, outdir: str, resume: str = "",
 
 
 def main():
-    import jax  # noqa: F401  (report the backend without holding the chip)
-
+    # deliberately NO jax import here: initializing the backend in this
+    # parent would hold the (remote) chip against the child phases, which
+    # each resolve their own backend in a fresh process and report it in
+    # their PHASE_RESULT line
     failures = []
     results = {}
     for which, train_id in (("prfl", "smoke_prfl"),
