@@ -200,6 +200,12 @@ def main():
             # (scripts/profile_vae_decode.py)
             composed["serving_int8_e2e_with_decode_s"] = (
                 sv["int8"]["end_to_end_with_decode_s"])
+        if "int8_qk8" in sv:
+            # the full opt-in quant config: W8A8 dense + qk-int8 flash
+            composed["serving_int8_qk8_speedup"] = (
+                sv.get("int8_qk8_speedup_compute"))
+            composed["serving_int8_qk8_e2e_with_decode_s"] = (
+                sv["int8_qk8"].get("end_to_end_with_decode_s"))
     except Exception:
         pass
     print(json.dumps({

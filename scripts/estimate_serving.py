@@ -80,15 +80,16 @@ def timeit(tag, fn, *args, n=3):
     return best
 
 
-def flash_fwd_time(heads, length, rt, tag):
+def flash_fwd_time(heads, length, rt, tag, qk_int8=False):
     q = jax.random.normal(jax.random.PRNGKey(0), (B, length, heads, 128),
                           jnp.bfloat16) * 0.1
 
     @jax.jit
     def fwdK(q):
         def body(q, _):
-            return fa.flash_attention(q, q, q,
-                                      bounded_logits=True).astype(q.dtype), None
+            return fa.flash_attention(
+                q, q, q, bounded_logits=True,
+                qk_int8=qk_int8).astype(q.dtype), None
         q, _ = jax.lax.scan(body, q, None, length=K)
         return jnp.sum(q.astype(jnp.float32))
 
@@ -135,6 +136,12 @@ def _measure():
     # per-device shape (5 heads @ 75.6k) ---
     t_fl_loc = flash_fwd_time(HEADS, L, rt, f"{HEADS}h_loc{L}_b{B}")
     t_fl_dev = flash_fwd_time(H_LOC, L_FULL, rt, f"{H_LOC}h_75k6_b{B}")
+    # qk-int8 flash at the device shape (--quant_attn int8): the qk^T
+    # matmul runs on the int8 MXU with per-head q/k scales inside the
+    # kernel; measured 1.16x the bf16 bounded kernel at this shape
+    # (scripts/profile_flash_qk8.py; max|diff| 2.4e-4 = bf16-ulp scale)
+    t_fl_dev_qk8 = flash_fwd_time(H_LOC, L_FULL, rt,
+                                  f"{H_LOC}h_75k6_b{B}_qk8", qk_int8=True)
 
     # --- embeds + head (i2v: 36-ch patch embed + CLIP MLPProj) ---
     emb_cfg = wan_dit.WanConfig(model_type="i2v", in_dim=36, dim=DIM,
@@ -179,7 +186,7 @@ def _measure():
 
     t_solver = max(0.0, (timeit("solver8", solverK, jnp.ones_like(lat1),
                                 lat1) - rt) / 8)
-    return blk_t, t_fl_loc, t_fl_dev, t_emb, t_solver
+    return blk_t, t_fl_loc, t_fl_dev, t_fl_dev_qk8, t_emb, t_solver
 
 
 def main():
@@ -200,10 +207,13 @@ def main():
                  "int8": prev["block_fwd_local_int8_ms"] / 1e3}
         t_fl_loc = prev["flash_fwd_40h_9k45_b2_ms"] / 1e3
         t_fl_dev = prev["flash_fwd_5h_75k6_b2_ms"] / 1e3
+        qk8_ms = prev.get("flash_fwd_5h_75k6_b2_qk8_ms")
+        t_fl_dev_qk8 = qk8_ms / 1e3 if qk8_ms is not None else None
         t_emb = prev["embeds_head_fwd_ms"] / 1e3
         t_solver = prev["solver_step_ms"] / 1e3
     else:
-        blk_t, t_fl_loc, t_fl_dev, t_emb, t_solver = _measure()
+        (blk_t, t_fl_loc, t_fl_dev, t_fl_dev_qk8, t_emb,
+         t_solver) = _measure()
 
     # --- compiler-grounded per-chain communication (COMM_AUDIT.json) ---
     audit_path = os.path.join(os.path.dirname(os.path.dirname(
@@ -257,9 +267,18 @@ def main():
            "flash_fwd_5h_75k6_b2_ms": round(t_fl_dev * 1e3, 1),
            "embeds_head_fwd_ms": round(t_emb * 1e3, 1),
            "solver_step_ms": round(t_solver * 1e3, 2)}
+    if t_fl_dev_qk8 is not None:
+        out["flash_fwd_5h_75k6_b2_qk8_ms"] = round(t_fl_dev_qk8 * 1e3, 1)
     suspicious = []
-    for tag in ("bf16", "int8"):
-        blk_dev = blk_t[tag] - t_fl_loc + t_fl_dev
+    # "int8_qk8" = the full opt-in quant config (--quant int8 --quant_attn
+    # int8): W8A8 dense + the qk^T matmul on the int8 MXU. Collectives are
+    # the int8 stage's (quantization lives inside the kernel; a2a shapes
+    # unchanged), so it reuses the usp_uly8_int8 audit rows.
+    tags = [("bf16", "bf16", t_fl_dev), ("int8", "int8", t_fl_dev)]
+    if t_fl_dev_qk8 is not None:
+        tags.append(("int8_qk8", "int8", t_fl_dev_qk8))
+    for tag, blk_tag, t_fl in tags:
+        blk_dev = blk_t[blk_tag] - t_fl_loc + t_fl
         t_fwd = LAYERS * blk_dev + t_emb
         chain = STEPS * (t_fwd + t_solver)
         tflops = chain_f / chain / 1e12
@@ -268,8 +287,8 @@ def main():
                "chain_compute_s": round(chain, 1),
                "chain_tflops_per_chip": round(tflops, 1),
                "chain_mfu_pct_v5e_bf16peak": round(100 * tflops / 197, 1)}
-        if tag in comm:
-            c = comm[tag]
+        if (tag if tag in comm else blk_tag) in comm:
+            c = comm[tag if tag in comm else blk_tag]
             row["comm_audit_chain_s"] = round(c["total_s"], 1)
             row["comm_overlappable_s"] = round(c["overlappable_s"], 1)
             row["comm_wire_model"] = c["wire_model"]
@@ -283,10 +302,14 @@ def main():
             if "async" in c:
                 row["chain_interval_chunked_async_s"] = interval(c["async"])
         out[tag] = row
-        if tflops > 197 * (2.0 if tag == "int8" else 1.0):
+        if tflops > 197 * (1.0 if tag == "bf16" else 2.0):
             suspicious.append(f"{tag} rate above hardware peak")
     out["int8_speedup_compute"] = round(
         out["bf16"]["chain_compute_s"] / out["int8"]["chain_compute_s"], 3)
+    if "int8_qk8" in out:
+        out["int8_qk8_speedup_compute"] = round(
+            out["bf16"]["chain_compute_s"]
+            / out["int8_qk8"]["chain_compute_s"], 3)
     if vae_decode is not None:
         # once-per-clip tail: the W/8 per-device slice is the 8-chip
         # spatial-sharded production decode (VAEConfig.spatial_shard; the
@@ -298,7 +321,9 @@ def main():
         cands = [c for c in cands if c is not None]
         tail = min(cands) if cands else None
         if tail is not None:
-            for tag in ("bf16", "int8"):
+            for tag in ("bf16", "int8", "int8_qk8"):
+                if tag not in out:
+                    continue
                 row = out[tag]
                 key = ("chain_interval_chunked_async_s"
                        if "chain_interval_chunked_async_s" in row
