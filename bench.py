@@ -171,6 +171,12 @@ def main():
             # tightest justified interval (VERDICT r4 next #7)
             composed["composed_interval_async_s"] = (
                 c["composed_step_interval_async_s"])
+        if "composed_step_rollout_int8_s" in c:
+            # opt-in int8 no-grad rollout (train.rollout_quant:
+            # scripts/profile_rollout_int8.py)
+            composed["composed_rollout_int8_s"] = (
+                c["composed_step_rollout_int8_s"])
+            composed["rollout_int8_speedup"] = c.get("rollout_int8_speedup")
     except Exception:
         pass
     try:

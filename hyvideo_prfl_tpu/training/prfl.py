@@ -53,6 +53,17 @@ class PrflConfig:
     is_flf2v: bool = False
     # pin the mid timestep (benchmarking/debugging); None = random per step
     fixed_mid: Optional[int] = None
+    # "int8": run the NO-GRAD rollout (steps 0..mid) through the int8
+    # serving path — W8A8 dense + qk-int8 flash — while the
+    # gradient-carrying step, the LRM, and the SFT step stay bf16/fp32.
+    # The rollout is under stop_gradient (train_prfl.py:637's no_grad), so
+    # quantization noise only perturbs the mid-latent the gradient step
+    # starts from, exactly like serving perturbs samples (~0.3% output
+    # drift, tests/test_quant.py). 19 of ~21 forward-units per refl step
+    # are rollout forwards, so the measured serving-speedup (~1.2x)
+    # applies to ~90% of the step. Opt-in (train.rollout_quant); quality
+    # gate: compare reward trajectories vs bf16 before production.
+    rollout_quant: Optional[str] = None
 
 
 class PrflModel:
@@ -85,6 +96,13 @@ def make_refl_step(model: PrflModel, tx, lora_mode: bool = False,
         cfg.inference_steps, shift=cfg.flow_shift,
         num_train_timesteps=cfg.num_train_timesteps,
     )
+    dit_q = qshapes = None
+    if cfg.rollout_quant == "int8":
+        qcfg = dataclasses.replace(model.dit_cfg, quant_dense="int8",
+                                   quant_attn="int8")
+        dit_q = wan_dit.WanModel(qcfg, model.policy)
+        qshapes = jax.eval_shape(
+            lambda: wan_dit.init_params(qcfg, jax.random.PRNGKey(0)))
 
     def loss_fn(params, lrm, batch, rng):
         if lora_mode:
@@ -126,8 +144,22 @@ def make_refl_step(model: PrflModel, tx, lora_mode: bool = False,
             return out
 
         # ---- 1-2. no-grad rollout to mid ----
+        if dit_q is not None:
+            # quantize the LIVE policy weights once per step (pure jnp,
+            # ~one stream pass over the params — negligible vs 19 model
+            # forwards) and run the rollout through the int8 graph
+            from ..ops import quant as quant_mod
+
+            qparams = jax.lax.stop_gradient(
+                quant_mod.quantize_params(params, qshapes))
+
+            def rollout_vel(x, t):
+                return dit_q.apply(qparams, x, t, batch["text"], y=y_t,
+                                   clip_fea=clip_fea, grid=grid)
+        else:
+            rollout_vel = velocity
         frozen_vel = lambda x, t: jax.lax.stop_gradient(
-            velocity(jax.lax.stop_gradient(x), t)
+            rollout_vel(jax.lax.stop_gradient(x), t)
         )
         # NOTE: a statically-truncated scan (num_steps=fixed_mid) is
         # numerically identical and compiles on CPU, but crashes the axon

@@ -75,6 +75,9 @@ def main(config, max_steps=None):
         # reward metric is comparable across steps (tests/learning curves)
         fixed_mid=(int(config.train.fixed_mid)
                    if config.train.get("fixed_mid") is not None else None),
+        # opt-in: int8 no-grad rollout (W8A8 dense + qk-int8 flash for the
+        # stop_gradient rollout forwards only; see PrflConfig.rollout_quant)
+        rollout_quant=config.train.get("rollout_quant"),
     )
     policy = shd.ShardingPolicy() if mesh.devices.size > 1 else None
     model = PrflModel(dit_cfg, pc, prfl_cfg, policy)

@@ -339,3 +339,55 @@ def test_prfl_moves_toward_learned_preference():
     assert means[-1] > means[0] + 0.05, (
         f"latents did not move toward the learned preference: "
         f"{means[0]:.4f} -> {means[-1]:.4f}\n{np.round(means, 3)}")
+
+
+def test_prfl_rollout_int8_learns():
+    """Opt-in int8 NO-GRAD rollout (PrflConfig.rollout_quant): the 19-of-21
+    forward-units that dominate the refl step run the W8A8+qk8 serving
+    graph on live per-step-quantized weights, while the gradient-carrying
+    step stays bf16/fp32. Must (a) stay finite, (b) track the bf16
+    trajectory closely at step 0 (quantization perturbs only the
+    stop_gradient mid-latent), and (c) still LEARN — reward rises."""
+    dit_cfg = _tiny_dit()
+    pc = PavrmConfig(loss="ce", feature_layer=(2,))
+    policy_params = wan_dit.init_params(dit_cfg, jax.random.PRNGKey(0))
+    policy_params = _randomize_head(policy_params, jax.random.PRNGKey(9))
+    tx = common.make_optimizer(learning_rate=1e-3)
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 2)
+    batch = {
+        "latents": jax.random.normal(ks[0], (1, 4, 8, 8, 16)),
+        "text": jax.random.normal(ks[1], (1, dit_cfg.text_len,
+                                          dit_cfg.text_dim)) * 0.1,
+    }
+    fixed_rng = jax.random.PRNGKey(5)
+
+    results = {}
+    for quant in (None, "int8"):
+        prfl_cfg = PrflConfig(inference_steps=6, flow_shift=3.0,
+                              fixed_mid=3, rollout_quant=quant)
+        model = PrflModel(dit_cfg, pc, prfl_cfg)
+        lrm_trainable, lrm_frozen = model.lrm.init_all(jax.random.PRNGKey(1))
+        lrm_tower = {
+            "dit": common.merge_tree(
+                {"params": {"blocks": lrm_trainable["blocks"]}}, lrm_frozen),
+            "q": {"params": lrm_trainable["q_attn"]},
+            "m": {"params": lrm_trainable["mlp"]},
+        }
+        state = common.init_train_state(policy_params, tx)
+        step = jax.jit(make_refl_step(model, tx))
+        rewards = []
+        for _ in range(20):
+            state, m = step(state, batch, fixed_rng, lrm_tower)
+            rewards.append(float(m["reward"]))
+        assert np.isfinite(rewards).all()
+        results[quant] = rewards
+
+    r8 = results["int8"]
+    assert r8[-1] > r8[0] + 0.02, (
+        f"int8-rollout PRFL did not learn: {np.round(r8, 4)}")
+    # step-0 reward evaluates the SAME initial params through the two
+    # rollout graphs: int8 noise must be a perturbation, not a regime
+    # change
+    assert abs(r8[0] - results[None][0]) < 0.05, (
+        f"int8 rollout diverged at step 0: {r8[0]} vs {results[None][0]}")
