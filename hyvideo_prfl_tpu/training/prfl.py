@@ -96,6 +96,9 @@ def make_refl_step(model: PrflModel, tx, lora_mode: bool = False,
         cfg.inference_steps, shift=cfg.flow_shift,
         num_train_timesteps=cfg.num_train_timesteps,
     )
+    assert cfg.rollout_quant in (None, "int8"), (
+        f"rollout_quant must be None or 'int8', got {cfg.rollout_quant!r} "
+        "(a typo here would silently run the bf16 rollout)")
     dit_q = qshapes = None
     if cfg.rollout_quant == "int8":
         qcfg = dataclasses.replace(model.dit_cfg, quant_dense="int8",

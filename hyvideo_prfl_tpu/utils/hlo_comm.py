@@ -536,11 +536,20 @@ def collective_seconds(cols: List[Collective], link_gbps: float,
     per_op: Dict[str, Dict[str, float]] = {}
     total_s = 0.0
     overlappable_s = 0.0
+    degraded = False
+    n_topo = int(np.prod(topo_shape)) if topo_shape else 0
     for c in cols:
         w = c.wire_bytes() * c.count
         axes = 1
         if topo_shape and c.op != "collective-permute":
             axes = group_axes_span(c.replica_groups, topo_shape)
+            if (axes == 1 and c.replica_groups
+                    and any(int(i) >= n_topo
+                            for g in c.replica_groups for i in g)):
+                # ids beyond the assumed torus: group_axes_span degraded
+                # to the single-axis model — surface it so the caller
+                # does not label single-axis numbers "torus"
+                degraded = True
         s = w / (2.0 * link_gbps * 1e9 * axes)
         d = per_op.setdefault(c.op, {"bytes": 0.0, "wire_bytes": 0.0,
                                      "seconds": 0.0, "count": 0.0})
@@ -551,8 +560,11 @@ def collective_seconds(cols: List[Collective], link_gbps: float,
         total_s += s
         if c.is_async:
             overlappable_s += s
-    return {"per_op": per_op, "total_seconds": total_s,
-            "async_overlappable_seconds": overlappable_s}
+    out = {"per_op": per_op, "total_seconds": total_s,
+           "async_overlappable_seconds": overlappable_s}
+    if degraded:
+        out["torus_fallback_single_axis"] = True
+    return out
 
 
 DCN_GBPS_PER_HOST = 25.0  # guide number: per-host DCN egress, GB/s

@@ -294,6 +294,8 @@ class MetricLogger:
     SummaryWriter, train_prfl.py:76-80,1036); other processes still format
     to their own stderr logger but own no files."""
 
+    _live = None  # the MetricLogger currently owning the root file handler
+
     def __init__(self, log_dir):
         self.writer = None
         # metric lines go out at INFO; basicConfig in the trainer mains is
@@ -314,6 +316,14 @@ class MetricLogger:
             if getattr(h, "_hyv_metric_logger", False):
                 root.removeHandler(h)
                 h.close()
+        # close the previous run's TensorBoard writer as well: SummaryWriter
+        # only flushes periodically/on close, so leaving it open can drop
+        # the old run's tail scalars
+        prev = MetricLogger._live
+        if prev is not None and prev.writer is not None:
+            prev.writer.close()
+            prev.writer = None
+        MetricLogger._live = self
         # append-only text log like the reference's log.txt
         fh = logging.FileHandler(os.path.join(log_dir, "log.txt"))
         fh.setFormatter(logging.Formatter("%(asctime)s %(message)s"))

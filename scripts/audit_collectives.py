@@ -124,7 +124,7 @@ def _priced_fields(cols, chip: str):
                     for kk, vv in v.items()}
                 for k, v in m["per_op"].items()}
 
-    return link, {
+    fields = {
         "per_op": rounded(model_out),
         "total_seconds": round(model_out["total_seconds"], 6),
         "async_overlappable_seconds": round(
@@ -136,6 +136,11 @@ def _priced_fields(cols, chip: str):
             model_torus["async_overlappable_seconds"], 6),
         "top_sites": hlo_comm.top_sites(cols, link),
     }
+    if model_torus.get("torus_fallback_single_axis"):
+        # device ids exceeded the assumed torus shape: the "torus" numbers
+        # are actually single-axis — make the mislabel impossible to miss
+        fields["torus_fallback_single_axis"] = True
+    return link, fields
 
 
 def _child(stage: str, out_path: str) -> None:
@@ -404,15 +409,31 @@ def reparse_stage(stage: str, out_dir: str) -> dict:
     if domains is not None:
         result["domains"] = domains
     # reparse cannot re-observe child stderr or the compile-time param
-    # shapes: carry the SPMD warning count and the ZeRO-3 gather-floor
-    # tripwire forward from the original compile's record
+    # shapes: carry the SPMD warning count and the gather-floor's
+    # param-shape side forward — but RE-MEASURE the all-gather wire from
+    # the fresh inventory, so the tripwire still fires on the
+    # parser-iteration path it guards (copying the old measurement
+    # verbatim would green-light exactly the dropped-collective bug class)
     prev = os.path.join(out_dir, f"comm_{stage}.json")
     if os.path.exists(prev):
         with open(prev) as fobj:
             old = json.load(fobj)
-        for key in ("spmd_involuntary_remat_warnings", "gather_floor"):
-            if key in old:
-                result[key] = old[key]
+        if "spmd_involuntary_remat_warnings" in old:
+            result["spmd_involuntary_remat_warnings"] = (
+                old["spmd_involuntary_remat_warnings"])
+        if "gather_floor" in old:
+            gf = dict(old["gather_floor"])
+            floor = gf["floor_wire_bytes"]
+            meas = sum(c.wire_bytes() * c.count for c in cols
+                       if c.op == "all-gather")
+            gf["measured_ag_wire_bytes"] = round(meas)
+            gf["ratio"] = round(meas / floor, 3)
+            result["gather_floor"] = gf
+            if meas < 0.9 * floor:
+                result["warnings"] = result.get("warnings", []) + [
+                    "all-gather wire %.2f GiB is below the ZeRO-3 physical "
+                    "floor %.2f GiB — the parser is likely dropping "
+                    "collectives again" % (meas / 2**30, floor / 2**30)]
     with open(os.path.join(out_dir, f"comm_{stage}.json"), "w") as fobj:
         json.dump(result, fobj, indent=2)
     return result

@@ -127,25 +127,34 @@ def main():
               for t in ("bf16", "qk8")}
 
     # once-per-step quantization of the per-device param shard: 5 stacked
-    # 14B-dim blocks ~= 1.77B params (14B / 8-way FSDP)
+    # 14B-dim blocks = the full quantized kernel surface per block
+    # (self qkv+o = 4 D^2, cross q/o + k_img/v_img = 4 D^2, ffn in+out
+    # = 2 D FFN) ~= 1.73B params ~= 14B / 8-way FSDP
     wq_src = {
-        "self_qkv": jnp.ones((5, DIM, 3 * DIM), jnp.float32) * 0.01,
-        "cross": jnp.ones((5, DIM, 2 * DIM), jnp.float32) * 0.01,
+        "self_qkvo": jnp.ones((5, DIM, 4 * DIM), jnp.float32) * 0.01,
+        "cross_qo_kimg_vimg": jnp.ones((5, DIM, 4 * DIM), jnp.float32) * 0.01,
         "ffn_in": jnp.ones((5, DIM, FFN), jnp.float32) * 0.01,
         "ffn_out": jnp.ones((5, FFN, DIM), jnp.float32) * 0.01,
     }
+    n_q = sum(int(w.size) for w in wq_src.values())
+    print(json.dumps({"tag": "quantize_tree_params_b",
+                      "v": n_q}), flush=True)
 
     @jax.jit
     def quantK(tree):
+        # perturb the tree by the carry so the quantize body depends on the
+        # loop state — otherwise it is loop-invariant and XLA's LICM hoists
+        # it out of the scan, under-reporting the per-iteration time
         def body(acc, _):
-            qs = jax.tree.map(lambda w: quant.quantize_weight(w)[0], tree)
-            s = sum(jnp.sum(q.astype(jnp.int32))
+            t2 = jax.tree.map(lambda w: w + acc, tree)
+            qs = jax.tree.map(lambda w: quant.quantize_weight(w)[0], t2)
+            s = sum(jnp.sum(q.astype(jnp.float32))
                     for q in jax.tree.leaves(qs))
-            return acc + s, None
-        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None, length=K)
+            return acc + s * 1e-30, None
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=K)
         return acc
 
-    t_quant = timeit("quantize_1.77B_params", quantK, wq_src, rt=rt)
+    t_quant = timeit("quantize_1.73B_params", quantK, wq_src, rt=rt)
 
     # --- composition against BENCH_COMPOSED.json ---
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

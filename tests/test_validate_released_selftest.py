@@ -11,6 +11,7 @@ literally true rather than a manual per-round claim.
 
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -30,9 +31,10 @@ def test_validate_released_selftest(tmp_path):
     # must run (skips would silently hollow out the weights-day gate)
     line = [l for l in r.stdout.splitlines() if l.startswith("stages:")]
     assert line, f"no stages summary:\n{tail}"
-    ran, skipped = line[-1].split("ran,")[0], line[-1]
-    assert int(ran.split(":")[1].strip()) >= 11, line[-1]
-    assert "0 skipped" in skipped, line[-1]
+    m = re.search(r"stages:\s*(\d+) ran,\s*(\d+) skipped", line[-1])
+    assert m, line[-1]
+    assert int(m.group(1)) >= 11, line[-1]
+    assert int(m.group(2)) == 0, line[-1]
     report = tmp_path / "out" / "validation_report.json"
     assert report.exists()
     rep = json.load(open(report))
